@@ -1,0 +1,463 @@
+"""HiFi-GAN vocoder: generator, discriminators and GAN losses in JAX.
+
+Generator architecture parity with the reference Haiku port
+(/root/reference/vietTTS/hifigan/model.py:13-125) and the upstream config
+(assets/hifigan/config.json): Conv(512, k=7) pre -> 4 stages of
+[leaky_relu -> ConvTranspose(k in {16,16,4,4}, stride in {8,8,2,2}, SAME) ->
+mean of 3 multi-receptive-field ResBlocks] -> leaky_relu -> Conv(1, k=7) ->
+tanh.  Total upsampling x256 = one hop of audio per mel frame.
+
+The discriminators (multi-period + multi-scale) and the GAN losses are
+first-party here — the reference delegates vocoder GAN training to the
+upstream PyTorch repo (torch_model.py:221-414 exists only for weight
+conversion).  Weight normalization is implemented as an explicit
+reparameterization (w = g * v / ||v||) so trained generators can be folded
+into plain-conv checkpoints for inference.
+
+Everything runs in NWC layout, the natural layout for XLA:TPU convolutions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from viettts_tpu.config import HifiGanConfig
+
+LRELU_SLOPE = 0.1
+
+
+def _same_pad(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class WNConv(nn.Module):
+    """1D convolution with optional weight normalization.
+
+    With ``use_wn=True`` the kernel is parameterized as
+    ``g * v / ||v||_{(in, k)}`` (norm over all axes except the output
+    channel), matching torch's ``weight_norm(Conv1d)``.  ``fold_weight_norm``
+    converts trained params to a plain kernel.
+    """
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_wn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = (self.kernel_size, in_ch // self.groups, self.features)
+        fan_in = self.kernel_size * in_ch // self.groups
+        kernel_init = nn.initializers.normal(0.01)
+        if self.use_wn:
+            v = self.param("v", kernel_init, k_shape)
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.linalg.norm(
+                    kernel_init(key, k_shape).reshape(-1, self.features), axis=0
+                ),
+                (self.features,),
+            )
+            norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+            kernel = v * (g / jnp.maximum(norm, 1e-12))
+        else:
+            kernel = self.param("kernel", kernel_init, k_shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        p = _same_pad(self.kernel_size, self.dilation)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.strides,),
+            padding=((p, p),),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        return y + bias
+
+
+class ResBlock1(nn.Module):
+    """3 x (lrelu -> dilated conv -> lrelu -> conv -> +residual)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+    use_wn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = WNConv(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                use_wn=self.use_wn,
+                name=f"convs1_{i}",
+            )(xt)
+            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = WNConv(
+                self.channels,
+                self.kernel_size,
+                dilation=1,
+                use_wn=self.use_wn,
+                name=f"convs2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2 x (lrelu -> dilated conv -> +residual)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3)
+    use_wn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = WNConv(
+                self.channels,
+                self.kernel_size,
+                dilation=d,
+                use_wn=self.use_wn,
+                name=f"convs_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """Mel [B, T, n_mels] -> waveform [B, T * 256, 1] in [-1, 1]."""
+
+    cfg: HifiGanConfig
+    use_wn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        res_cls = ResBlock1 if cfg.resblock == "1" else ResBlock2
+
+        x = WNConv(
+            cfg.upsample_initial_channel, 7, use_wn=self.use_wn, name="conv_pre"
+        )(x)
+        for i, (u, k) in enumerate(
+            zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
+        ):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = UpsampleConv(ch, k, u, use_wn=self.use_wn, name=f"ups_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                y = res_cls(
+                    ch,
+                    rk,
+                    rd,
+                    use_wn=self.use_wn,
+                    name=f"resblock_{i * num_kernels + j}",
+                )(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+        x = jax.nn.leaky_relu(x)  # default slope, matching upstream
+        x = WNConv(1, 7, use_wn=self.use_wn, name="conv_post")(x)
+        return jnp.tanh(x)
+
+
+class UpsampleConv(nn.Module):
+    """Strided transposed 1D convolution with SAME padding.
+
+    Equivalent to ``hk.Conv1DTranspose(padding="SAME")`` as used by the
+    reference generator (hifigan/model.py:86-95); kernel layout here is
+    (W, I, O).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_wn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = (self.kernel_size, in_ch, self.features)
+        kernel_init = nn.initializers.normal(0.01)
+        if self.use_wn:
+            v = self.param("v", kernel_init, k_shape)
+            g = self.param(
+                "g",
+                lambda key, shape: jnp.linalg.norm(
+                    kernel_init(key, k_shape).reshape(-1, self.features), axis=0
+                ),
+                (self.features,),
+            )
+            norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+            kernel = v * (g / jnp.maximum(norm, 1e-12))
+        else:
+            kernel = self.param("kernel", kernel_init, k_shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_transpose(
+            x,
+            kernel,
+            strides=(self.stride,),
+            padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+# ---------------------------------------------------------------------------
+# Discriminators (first-party; reference delegates these to upstream torch,
+# torch_model.py:221-380).
+# ---------------------------------------------------------------------------
+
+
+class PeriodDiscriminator(nn.Module):
+    """Reshapes the waveform into [T/p, p] and applies (k, 1) 2D convs."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        # x: [B, T, 1]
+        B, T, C = x.shape
+        p = self.period
+        if T % p != 0:
+            n_pad = p - (T % p)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            T = T + n_pad
+        x = x.reshape(B, T // p, p, C)
+
+        fmap = []
+        channels = (32, 128, 512, 1024)
+        pad = _same_pad(self.kernel_size)
+        for i, ch in enumerate(channels):
+            x = ConvWN2D(
+                ch, (self.kernel_size, 1), (self.stride, 1), ((pad, pad), (0, 0)),
+                name=f"conv_{i}",
+            )(x)
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = ConvWN2D(
+            1024, (self.kernel_size, 1), (1, 1), ((2, 2), (0, 0)), name="conv_4"
+        )(x)
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = ConvWN2D(1, (3, 1), (1, 1), ((1, 1), (0, 0)), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(B, -1), fmap
+
+
+class ConvWN2D(nn.Module):
+    """2D convolution with weight normalization (NHWC)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = self.kernel_size + (in_ch, self.features)
+        kernel_init = nn.initializers.normal(0.01)
+        v = self.param("v", kernel_init, k_shape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                kernel_init(key, k_shape).reshape(-1, self.features), axis=0
+            ),
+            (self.features,),
+        )
+        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        real_outs, gen_outs, real_fmaps, gen_fmaps = [], [], [], []
+        for p in self.periods:
+            d = PeriodDiscriminator(p, name=f"disc_p{p}")
+            out_r, fmap_r = d(y)
+            out_g, fmap_g = d(y_hat)
+            real_outs.append(out_r)
+            gen_outs.append(out_g)
+            real_fmaps.append(fmap_r)
+            gen_fmaps.append(fmap_g)
+        return real_outs, gen_outs, real_fmaps, gen_fmaps
+
+
+class ScaleDiscriminator(nn.Module):
+    """Stacked grouped 1D convs over the raw (possibly pooled) waveform."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        # x: [B, T, 1]
+        B = x.shape[0]
+        fmap = []
+        layer_specs = [
+            # (features, kernel, stride, groups, pad)
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (ch, k, s, grp, pad) in enumerate(layer_specs):
+            x = ConvWN1DPadded(ch, k, s, grp, pad, name=f"conv_{i}")(x)
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = ConvWN1DPadded(1, 3, 1, 1, 1, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(B, -1), fmap
+
+
+class ConvWN1DPadded(nn.Module):
+    """Weight-normalized 1D conv with explicit symmetric padding."""
+
+    features: int
+    kernel_size: int
+    strides: int
+    groups: int
+    pad: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = (self.kernel_size, in_ch // self.groups, self.features)
+        kernel_init = nn.initializers.normal(0.01)
+        v = self.param("v", kernel_init, k_shape)
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                kernel_init(key, k_shape).reshape(-1, self.features), axis=0
+            ),
+            (self.features,),
+        )
+        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.strides,),
+            padding=((self.pad, self.pad),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        return y + bias
+
+
+def _avg_pool_1d(x: jax.Array, window: int = 4, stride: int = 2, pad: int = 2):
+    """AvgPool1d(kernel=4, stride=2, padding=2) on [B, T, C], count
+    includes padding (torch's count_include_pad=True default)."""
+    y = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (pad, pad), (0, 0)),
+    )
+    return y / window
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 scale discriminators at x1, x2-pooled, x4-pooled resolution."""
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        real_outs, gen_outs, real_fmaps, gen_fmaps = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = _avg_pool_1d(y)
+                y_hat = _avg_pool_1d(y_hat)
+            d = ScaleDiscriminator(name=f"disc_s{i}")
+            out_r, fmap_r = d(y)
+            out_g, fmap_g = d(y_hat)
+            real_outs.append(out_r)
+            gen_outs.append(out_g)
+            real_fmaps.append(fmap_r)
+            gen_fmaps.append(fmap_g)
+        return real_outs, gen_outs, real_fmaps, gen_fmaps
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (least-squares GAN + feature matching, reference
+# torch_model.py:383-414).
+# ---------------------------------------------------------------------------
+
+
+def feature_matching_loss(fmaps_real, fmaps_gen) -> jax.Array:
+    loss = 0.0
+    for fmap_r, fmap_g in zip(fmaps_real, fmaps_gen):
+        for r, g in zip(fmap_r, fmap_g):
+            loss = loss + jnp.mean(jnp.abs(r - g))
+    return loss * 2.0
+
+
+def discriminator_loss(real_outs, gen_outs) -> jax.Array:
+    loss = 0.0
+    for dr, dg in zip(real_outs, gen_outs):
+        loss = loss + jnp.mean(jnp.square(1.0 - dr)) + jnp.mean(jnp.square(dg))
+    return loss
+
+
+def generator_adversarial_loss(gen_outs) -> jax.Array:
+    loss = 0.0
+    for dg in gen_outs:
+        loss = loss + jnp.mean(jnp.square(1.0 - dg))
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Weight-norm folding.
+# ---------------------------------------------------------------------------
+
+
+def fold_weight_norm(params):
+    """Fold ``{v, g}`` weight-normalized kernels into plain ``kernel`` params
+    so a generator trained with ``use_wn=True`` loads into ``use_wn=False``."""
+
+    def fold(tree):
+        if isinstance(tree, dict):
+            if "v" in tree and "g" in tree:
+                v, g = tree["v"], tree["g"]
+                features = v.shape[-1]
+                norm = jnp.linalg.norm(v.reshape(-1, features), axis=0)
+                kernel = v * (g / jnp.maximum(norm, 1e-12))
+                out = {k: v2 for k, v2 in tree.items() if k not in ("v", "g")}
+                out["kernel"] = kernel
+                return out
+            return {k: fold(v2) for k, v2 in tree.items()}
+        return tree
+
+    return fold(params)
