@@ -1,0 +1,125 @@
+"""End-to-end synthesis benchmark.
+
+Measures the headline metric from BASELINE.md: single-chip end-to-end
+real-time factor (RTF) — wall-clock seconds of compute per second of audio
+produced — through the full pipeline (duration model -> acoustic AR decode
+-> HiFi-GAN vocoder) at production model sizes.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is target_rtf / measured_rtf against the BASELINE.json
+target of RTF < 0.01 (values > 1 beat the target).
+
+Trained checkpoints are not required: RTF is a pure-compute metric, so
+randomly initialized weights at the exact production shapes measure the
+same program XLA runs in serving.
+"""
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+TARGET_RTF = 0.01
+N_FRAMES = 1024  # ~16.4 s of audio per utterance at 62.5 frames/s
+N_TOKENS = 256
+BATCH = 1
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    from viettts_tpu.config import Config
+    from viettts_tpu.models import AcousticModel, DurationModel, Generator
+    from viettts_tpu.types import DurationBatch
+
+    cfg = Config()
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, 93, (BATCH, N_TOKENS)), jnp.int32)
+    lengths = jnp.asarray([N_TOKENS] * BATCH, jnp.int32)
+
+    # --- build models at production sizes, random init ---
+    dm = DurationModel(cfg.duration)
+    dvars = jax.jit(partial(dm.init, train=False))(
+        {"params": jax.random.PRNGKey(0)},
+        DurationBatch(toks, lengths, None),
+    )
+    dvars = {"params": dvars["params"], "batch_stats": dvars["batch_stats"]}
+    predict_durations = jax.jit(partial(dm.apply, train=False))
+
+    am = AcousticModel(cfg.acoustic)
+    from viettts_tpu.types import AcousticBatch
+
+    durations = jnp.full((BATCH, N_TOKENS), N_FRAMES / N_TOKENS, jnp.float32)
+    ab = AcousticBatch(
+        toks, lengths, durations, None, None,
+        jnp.zeros((BATCH, N_FRAMES, cfg.acoustic.mel_dim)),
+    )
+    avars = jax.jit(partial(am.init, train=False))(
+        {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1)}, ab
+    )
+    avars = {"params": avars["params"], "batch_stats": avars["batch_stats"]}
+    decode_mel = jax.jit(
+        partial(am.apply, method=AcousticModel.inference), static_argnums=(3,)
+    )
+
+    gen = Generator(cfg.hifigan)
+    mel0 = jnp.zeros((BATCH, N_FRAMES, cfg.acoustic.mel_dim))
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
+    vocode = jax.jit(gen.apply)
+
+    prenet_key = jax.random.PRNGKey(42)
+
+    def pipeline(seed_scalar):
+        # seed_scalar creates a data dependency between iterations so the
+        # whole chain must execute before the final fetch.
+        d = predict_durations(dvars, DurationBatch(toks, lengths, None))
+        d = d + seed_scalar * 0.0
+        # fixed frame budget (bucketed serving shape)
+        scale = N_FRAMES / jnp.sum(d, axis=1, keepdims=True)
+        frames = d * scale
+        mel = decode_mel(
+            avars, toks, frames, N_FRAMES, lengths,
+            rngs={"prenet": prenet_key},
+        )
+        wav = vocode(gvars, mel)
+        return wav, wav[0, 0, 0]
+
+    # Timing methodology: on the tunneled TPU backend, dispatch is async
+    # and only a device->host fetch synchronizes (with a fixed RPC floor).
+    # So we chain K dependent pipeline iterations, fetch one scalar, and
+    # subtract the K=0 fetch floor.
+    def run_chain(K):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            _, s = pipeline(s)
+        _ = float(s)  # device->host sync
+        return time.perf_counter() - t0
+
+    for _ in range(WARMUP):
+        run_chain(1)
+
+    floor = min(run_chain(0) for _ in range(3))
+    K = ITERS
+    total = min(run_chain(K) for _ in range(3))
+    elapsed = max(total - floor, 1e-9) / K
+    audio_seconds = BATCH * N_FRAMES * cfg.dsp.hop_length / cfg.dsp.sample_rate
+    rtf = elapsed / audio_seconds
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_rtf",
+                "value": rtf,
+                "unit": "seconds_compute_per_second_audio",
+                "vs_baseline": TARGET_RTF / rtf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -260,13 +260,14 @@ def test_discriminators_run():
     y = jnp.asarray(rng.randn(2, 2048, 1).astype(np.float32) * 0.1)
     y_hat = jnp.asarray(rng.randn(2, 2048, 1).astype(np.float32) * 0.1)
 
-    mpd = MultiPeriodDiscriminator()
+    # small base_channels: channel ladders scale, layer structure identical
+    mpd = MultiPeriodDiscriminator(base_channels=2)
     vars_p = mpd.init(jax.random.PRNGKey(0), y, y_hat)
     r_outs, g_outs, r_fmaps, g_fmaps = mpd.apply(vars_p, y, y_hat)
     assert len(r_outs) == 5 and len(g_fmaps) == 5
     assert all(len(f) == 6 for f in r_fmaps)
 
-    msd = MultiScaleDiscriminator()
+    msd = MultiScaleDiscriminator(base_channels=16)
     vars_s = msd.init(jax.random.PRNGKey(1), y, y_hat)
     r_outs, g_outs, r_fmaps, g_fmaps = msd.apply(vars_s, y, y_hat)
     assert len(r_outs) == 3

@@ -1,0 +1,228 @@
+"""Tool tests: GTA export, silence zeroing, torch HiFi-GAN conversion, and a
+short vocoder GAN training run."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viettts_tpu.config import (
+    AcousticModelConfig,
+    Config,
+    DataConfig,
+    HifiGanConfig,
+    TrainConfig,
+)
+from viettts_tpu.data.audio import read_wav, write_wav
+from viettts_tpu.train.checkpoint import NATIVE_FORMAT, save_checkpoint
+
+from tests.test_trainers import TG_TEMPLATE, SR
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    for i in range(6):
+        (d / f"utt{i:02d}.TextGrid").write_text(TG_TEMPLATE)
+        rng = np.random.RandomState(i)
+        wav = (rng.randn(SR) * 2000).astype(np.int16)
+        write_wav(d / f"utt{i:02d}.wav", wav, SR)
+    return d
+
+
+def _tiny_cfg(corpus, ckpt_dir):
+    return Config(
+        acoustic=AcousticModelConfig(
+            encoder_dim=16, decoder_dim=16, prenet_dim=8, postnet_dim=8
+        ),
+        hifigan=HifiGanConfig(
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+            segment_size=512,
+            mpd_periods=(2, 3),
+            mpd_base_channels=4,
+            msd_scales=1,
+            msd_base_channels=16,
+        ),
+        data=DataConfig(max_phoneme_seq_len=16, max_wave_len=SR),
+        train=TrainConfig(batch_size=4, num_training_steps=2),
+        ckpt_dir=ckpt_dir,
+        data_dir=corpus,
+    )
+
+
+def test_zero_silence_tool(corpus, tmp_path):
+    from viettts_tpu.tools.zero_silence_segments import main
+
+    out = tmp_path / "zeroed"
+    main(["-i", str(corpus), "-o", str(out)])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 6
+    sr, y = read_wav(wavs[0])
+    # sil segments: [0, 0.2) and [0.7, 1.0)
+    assert np.all(y[: int(0.2 * SR) - 1] == 0)
+    assert np.all(y[int(0.7 * SR) + 1 :] == 0)
+    assert np.any(y[int(0.25 * SR) : int(0.65 * SR)] != 0)
+
+
+def test_gta_export(corpus, tmp_path):
+    from viettts_tpu.models import AcousticModel
+    from viettts_tpu.tools.gta import generate_gta
+    from viettts_tpu.types import AcousticBatch
+
+    cfg = _tiny_cfg(corpus, tmp_path)
+    # random-init acoustic checkpoint
+    model = AcousticModel(cfg.acoustic)
+    ab = AcousticBatch(
+        jnp.zeros((1, 16), jnp.int32),
+        jnp.asarray([16]),
+        jnp.ones((1, 16)),
+        None,
+        None,
+        jnp.zeros((1, 8, 80)),
+    )
+    variables = model.init(
+        {
+            "params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "prenet": jax.random.PRNGKey(2),
+            "zoneout": jax.random.PRNGKey(3),
+        },
+        ab,
+        train=True,
+    )
+    ckpt = tmp_path / "acoustic_latest_ckpt.pickle"
+    save_checkpoint(
+        ckpt,
+        {
+            "format": NATIVE_FORMAT,
+            "step": 0,
+            "variables": {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+            },
+        },
+    )
+    out = tmp_path / "gta"
+    n = generate_gta(out, cfg, acoustic_ckpt=ckpt)
+    assert n == 6
+    mels = sorted(out.glob("*.npy"))
+    assert len(mels) == 6
+    mel = np.load(mels[0])
+    assert mel.shape[0] == 80  # [mel_dim, T]
+    assert mel.shape[1] == SR // 256  # true frame count
+    assert np.all(np.isfinite(mel))
+
+
+def test_torch_hifigan_conversion():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from torch.nn.utils import weight_norm
+
+    from viettts_tpu.models import Generator
+    from viettts_tpu.tools.convert_torch_hifigan import convert_state_dict
+
+    cfg = HifiGanConfig(
+        upsample_rates=(2, 2),
+        upsample_kernel_sizes=(4, 4),
+        upsample_initial_channel=8,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3, 5),),
+        mel_dim=6,
+    )
+
+    class TorchResBlock(nn.Module):
+        def __init__(self, ch, k, dil):
+            super().__init__()
+            self.convs1 = nn.ModuleList(
+                [
+                    weight_norm(
+                        nn.Conv1d(ch, ch, k, dilation=d, padding=(k * d - d) // 2)
+                    )
+                    for d in dil
+                ]
+            )
+            self.convs2 = nn.ModuleList(
+                [
+                    weight_norm(nn.Conv1d(ch, ch, k, padding=(k - 1) // 2))
+                    for _ in dil
+                ]
+            )
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            for c1, c2 in zip(self.convs1, self.convs2):
+                xt = c1(F.leaky_relu(x, 0.1))
+                xt = c2(F.leaky_relu(xt, 0.1))
+                x = xt + x
+            return x
+
+    class TorchGen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_pre = weight_norm(nn.Conv1d(6, 8, 7, padding=3))
+            self.ups = nn.ModuleList(
+                [
+                    weight_norm(
+                        nn.ConvTranspose1d(
+                            8 // (2**i), 8 // (2 ** (i + 1)), k, u,
+                            padding=(k - u) // 2,
+                        )
+                    )
+                    for i, (u, k) in enumerate(zip((2, 2), (4, 4)))
+                ]
+            )
+            self.resblocks = nn.ModuleList(
+                [
+                    TorchResBlock(8 // (2 ** (i + 1)), 3, (1, 3, 5))
+                    for i in range(2)
+                ]
+            )
+            self.conv_post = weight_norm(nn.Conv1d(2, 1, 7, padding=3))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = self.conv_pre(x)
+            for i in range(2):
+                x = F.leaky_relu(x, 0.1)
+                x = self.ups[i](x)
+                x = self.resblocks[i](x)
+            x = F.leaky_relu(x)
+            return torch.tanh(self.conv_post(x))
+
+    torch.manual_seed(0)
+    tg = TorchGen().eval()
+    mel = np.random.RandomState(0).randn(2, 9, 6).astype(np.float32)
+    with torch.no_grad():
+        want = tg(torch.from_numpy(np.transpose(mel, (0, 2, 1))))
+    want = np.transpose(want.numpy(), (0, 2, 1))
+
+    variables = convert_state_dict(tg.state_dict())
+    got = Generator(cfg).apply(variables, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_vocoder_gan_training_runs(corpus, tmp_path):
+    from viettts_tpu.train import hifigan as htrain
+
+    cfg = _tiny_cfg(corpus, tmp_path)
+    state = htrain.train(cfg, wav_dir=corpus, num_steps=2, log_every=1)
+    assert int(state.step) == 2
+    ckpt = tmp_path / "hifigan_latest_ckpt.pickle"
+    assert ckpt.exists()
+
+    # the folded checkpoint drives inference through the auto-loader
+    from viettts_tpu.models import Generator
+    from viettts_tpu.train.checkpoint import load_variables
+
+    variables = load_variables(ckpt, "hifigan")
+    gen = Generator(cfg.hifigan, use_wn=False)
+    wav = gen.apply(variables, jnp.zeros((1, 8, 80)))
+    assert wav.shape == (1, 8 * 256, 1)
+    assert bool(jnp.isfinite(wav).all())

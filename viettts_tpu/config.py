@@ -140,6 +140,12 @@ class HifiGanConfig:
     adam_b2: float = 0.99
     lr_decay: float = 0.999
 
+    # discriminators (defaults = upstream hifi-gan sizes)
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    mpd_base_channels: int = 32
+    msd_scales: int = 3
+    msd_base_channels: int = 128
+
     @property
     def total_upsample(self) -> int:
         out = 1

@@ -80,6 +80,8 @@ class DurationDataset:
     def batches(self, batch_size: int, seed: int = 0) -> Iterator[DurationBatch]:
         rng = np.random.RandomState(seed)
         n = len(self)
+        if batch_size > n:
+            raise ValueError(f"batch_size {batch_size} > dataset size {n}")
         while True:
             order = rng.permutation(n)
             for s in range(0, n - batch_size + 1, batch_size):
@@ -177,6 +179,8 @@ class AcousticDataset:
     def batches(self, batch_size: int, seed: int = 0) -> Iterator[AcousticBatch]:
         rng = np.random.RandomState(seed)
         n = len(self)
+        if batch_size > n:
+            raise ValueError(f"batch_size {batch_size} > dataset size {n}")
         while True:
             order = rng.permutation(n)
             for s in range(0, n - batch_size + 1, batch_size):

@@ -1,0 +1,202 @@
+"""End-to-end synthesis pipeline: text -> tokens -> durations -> mel -> wave.
+
+Functional parity with the reference inference path
+(/root/reference/vietTTS/nat/text2mel.py:22-103 and
+/root/reference/vietTTS/hifigan/mel2wave.py:20-41), redesigned for TPU
+serving:
+
+* Checkpoints are loaded **once** and jitted callables cached — the
+  reference re-reads every pickle and re-jits on every call
+  (text2mel.py:27,63; mel2wave.py:35).
+* **Length bucketing**: token and frame lengths are padded up to a small
+  set of bucket sizes, so XLA compiles a handful of program shapes instead
+  of one per utterance (the reference passes ``n_frames`` as a static
+  argument — a recompile for every new utterance length, text2mel.py:79-80).
+* Batched synthesis: many utterances padded into one [B, T] batch, with
+  padding tokens masked out of the Gaussian upsampler.
+* Duration postprocessing (sil clamping, zero word-end durations, trailing
+  silence trim) matches text2mel.py:90-102.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from viettts_tpu.config import (
+    Config,
+    SIL_INDEX,
+    WORD_END_INDEX,
+)
+from viettts_tpu.models import AcousticModel, DurationModel, Generator
+from viettts_tpu.text import load_lexicon, normalize_text, text_to_tokens
+from viettts_tpu.train.checkpoint import load_variables
+from viettts_tpu.types import DurationBatch
+
+DEFAULT_TOKEN_BUCKETS = (32, 64, 128, 192, 256, 384, 512)
+FRAME_BUCKET = 128  # frames are padded to a multiple of this
+
+
+def _bucket_tokens(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+def _bucket_frames(n: int, bucket: int = FRAME_BUCKET) -> int:
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wave: np.ndarray  # [S] float32 in [-1, 1]
+    mel: np.ndarray  # [T, mel_dim]
+    durations: np.ndarray  # [num_tokens] seconds
+
+
+class Synthesizer:
+    """Cached, bucketed text-to-speech pipeline."""
+
+    def __init__(
+        self,
+        cfg: Config = Config(),
+        duration_ckpt: Optional[str | Path] = None,
+        acoustic_ckpt: Optional[str | Path] = None,
+        hifigan_ckpt: Optional[str | Path] = None,
+        lexicon_file: Optional[str | Path] = None,
+        token_buckets: Sequence[int] = DEFAULT_TOKEN_BUCKETS,
+        prenet_seed: int = 42,
+    ):
+        self.cfg = cfg
+        ckpt_dir = Path(cfg.ckpt_dir)
+        duration_ckpt = duration_ckpt or ckpt_dir / "duration_latest_ckpt.pickle"
+        acoustic_ckpt = acoustic_ckpt or ckpt_dir / "acoustic_latest_ckpt.pickle"
+        if hifigan_ckpt is None:
+            for cand in (
+                ckpt_dir / "hifigan_latest_ckpt.pickle",
+                Path(cfg.hifigan_ckpt_dir) / "hk_hifi.pickle",
+                ckpt_dir / "hk_hifi.pickle",
+            ):
+                if Path(cand).exists():
+                    hifigan_ckpt = cand
+                    break
+        if hifigan_ckpt is None:
+            raise FileNotFoundError(
+                "no HiFi-GAN checkpoint found; pass hifigan_ckpt="
+            )
+
+        self._duration_vars = load_variables(duration_ckpt, "duration")
+        self._acoustic_vars = load_variables(acoustic_ckpt, "acoustic")
+        self._hifigan_vars = load_variables(hifigan_ckpt, "hifigan")
+
+        self._duration_model = DurationModel(cfg.duration)
+        self._acoustic_model = AcousticModel(cfg.acoustic)
+        self._generator = Generator(cfg.hifigan)
+
+        self.lexicon = (
+            load_lexicon(lexicon_file) if lexicon_file is not None else None
+        )
+        self.token_buckets = tuple(token_buckets)
+        self._prenet_key = jax.random.PRNGKey(prenet_seed)
+
+        self._predict_durations = jax.jit(
+            partial(self._duration_model.apply, train=False)
+        )
+        self._decode_mel = jax.jit(
+            partial(self._acoustic_model.apply, method=AcousticModel.inference),
+            static_argnums=(3,),
+        )
+        self._vocode = jax.jit(self._generator.apply)
+
+    # ------------------------------------------------------------------
+
+    def text_to_token_ids(self, text: str) -> List[int]:
+        return text_to_tokens(normalize_text(text), self.lexicon)
+
+    def _durations_for(
+        self, token_rows: List[List[int]], silence_duration: float
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Predict + postprocess durations.  Returns (padded token ids
+        [B, T], lengths [B], durations-in-seconds [B, T])."""
+        B = len(token_rows)
+        T = _bucket_tokens(max(len(r) for r in token_rows), self.token_buckets)
+        toks = np.zeros((B, T), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        for i, row in enumerate(token_rows):
+            toks[i, : len(row)] = row
+            lengths[i] = len(row)
+        durations = np.asarray(
+            self._predict_durations(
+                self._duration_vars,
+                DurationBatch(jnp.asarray(toks), jnp.asarray(lengths), None),
+            )
+        )
+        # Postprocess (reference text2mel.py:90-97): clamp silences, zero
+        # word-end markers, zero padding.
+        if silence_duration >= 0:
+            durations = np.where(
+                toks == SIL_INDEX,
+                np.clip(durations, silence_duration, None),
+                durations,
+            )
+        durations = np.where(toks == WORD_END_INDEX, 0.0, durations)
+        mask = np.arange(T)[None, :] < lengths[:, None]
+        durations = np.where(mask, durations, 0.0)
+        return toks, lengths, durations
+
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self, text: str, silence_duration: float = -1.0
+    ) -> SynthesisResult:
+        return self.synthesize_batch([text], silence_duration)[0]
+
+    def synthesize_batch(
+        self, texts: Sequence[str], silence_duration: float = -1.0
+    ) -> List[SynthesisResult]:
+        """Synthesize a batch of texts in one padded device program."""
+        cfg = self.cfg
+        token_rows = [self.text_to_token_ids(t) for t in texts]
+        toks, lengths, dur_s = self._durations_for(token_rows, silence_duration)
+
+        frames_per_sec = cfg.dsp.sample_rate / cfg.dsp.hop_length
+        dur_frames = dur_s * frames_per_sec
+        total_frames = dur_frames.sum(axis=1)
+        n_frames = _bucket_frames(int(np.max(total_frames)) + 1)
+
+        mels = self._decode_mel(
+            self._acoustic_vars,
+            jnp.asarray(toks),
+            jnp.asarray(dur_frames),
+            n_frames,
+            jnp.asarray(lengths),
+            rngs={"prenet": self._prenet_key},
+        )
+        waves = self._vocode(self._hifigan_vars, mels)  # [B, n_frames*256, 1]
+        waves = np.asarray(waves[..., 0])
+        mels = np.asarray(mels)
+
+        hop = cfg.dsp.hop_length
+        results = []
+        for i, row in enumerate(token_rows):
+            keep = int(total_frames[i])
+            # Trailing-silence trim (reference text2mel.py:99-102).
+            if row and row[-1] == SIL_INDEX:
+                sil_frames = int(dur_s[i, len(row) - 1] * frames_per_sec)
+                keep = max(keep - sil_frames, 1)
+            results.append(
+                SynthesisResult(
+                    wave=waves[i, : keep * hop],
+                    mel=mels[i, :keep],
+                    durations=dur_s[i, : len(row)],
+                )
+            )
+        return results

@@ -120,19 +120,28 @@ class AcousticModel(nn.Module):
         return jnp.where(keep, x / (1.0 - rate), 0.0)
 
     def upsample(
-        self, x: jax.Array, durations: jax.Array, n_frames: int
+        self,
+        x: jax.Array,
+        durations: jax.Array,
+        n_frames: int,
+        token_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Gaussian upsampling: [B, T, D] tokens -> [B, L, D] frames.
 
         ``durations`` are in frames.  Weight of token t for output frame f is
         softmax over tokens of -(mid_t - f)^2 / sigma2 (reference
-        model.py:102-111).
+        model.py:102-111).  ``token_mask`` [B, T] excludes padding tokens
+        from the softmax — needed for batched inference where sequences are
+        padded (the reference only ever upsamples unpadded B=1 input).
         """
         frame_pos = jnp.arange(n_frames, dtype=jnp.float32)[None, :]  # [1, L]
         end_pos = jnp.cumsum(durations, axis=1)  # [B, T]
         mid_pos = end_pos - durations / 2.0  # [B, T]
         d2 = jnp.square(mid_pos[:, None, :] - frame_pos[:, :, None])
-        w = jax.nn.softmax(-d2 / self.cfg.upsample_sigma2, axis=-1)  # [B,L,T]
+        logits = -d2 / self.cfg.upsample_sigma2
+        if token_mask is not None:
+            logits = jnp.where(token_mask[:, None, :], logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1)  # [B,L,T]
         self.sow("intermediates", "attn", w[0])
         return jnp.einsum(
             "blt,btd->bld", w, x, preferred_element_type=jnp.float32
@@ -253,7 +262,8 @@ class AcousticModel(nn.Module):
         if lengths is None:
             lengths = jnp.full((B,), T, dtype=jnp.int32)
         enc = self.encoder(phonemes, lengths, train=False)
-        cond = self.upsample(enc, durations, n_frames)  # [B, L, C]
+        token_mask = jnp.arange(T)[None, :] < lengths[:, None]
+        cond = self.upsample(enc, durations, n_frames, token_mask)  # [B,L,C]
         L = n_frames
         H = cfg.decoder_dim
         C = cond.shape[-1]

@@ -225,11 +225,16 @@ class UpsampleConv(nn.Module):
 
 
 class PeriodDiscriminator(nn.Module):
-    """Reshapes the waveform into [T/p, p] and applies (k, 1) 2D convs."""
+    """Reshapes the waveform into [T/p, p] and applies (k, 1) 2D convs.
+
+    ``base_channels=32`` reproduces the upstream channel ladder
+    (32, 128, 512, 1024, 1024); smaller values scale every layer down.
+    """
 
     period: int
     kernel_size: int = 5
     stride: int = 3
+    base_channels: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -243,7 +248,8 @@ class PeriodDiscriminator(nn.Module):
         x = x.reshape(B, T // p, p, C)
 
         fmap = []
-        channels = (32, 128, 512, 1024)
+        bc = self.base_channels
+        channels = (bc, 4 * bc, 16 * bc, 32 * bc)
         pad = _same_pad(self.kernel_size)
         for i, ch in enumerate(channels):
             x = ConvWN2D(
@@ -253,7 +259,8 @@ class PeriodDiscriminator(nn.Module):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = ConvWN2D(
-            1024, (self.kernel_size, 1), (1, 1), ((2, 2), (0, 0)), name="conv_4"
+            32 * bc, (self.kernel_size, 1), (1, 1), ((2, 2), (0, 0)),
+            name="conv_4",
         )(x)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
@@ -298,12 +305,15 @@ class ConvWN2D(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    base_channels: int = 32
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         real_outs, gen_outs, real_fmaps, gen_fmaps = [], [], [], []
         for p in self.periods:
-            d = PeriodDiscriminator(p, name=f"disc_p{p}")
+            d = PeriodDiscriminator(
+                p, base_channels=self.base_channels, name=f"disc_p{p}"
+            )
             out_r, fmap_r = d(y)
             out_g, fmap_g = d(y_hat)
             real_outs.append(out_r)
@@ -314,22 +324,28 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    """Stacked grouped 1D convs over the raw (possibly pooled) waveform."""
+    """Stacked grouped 1D convs over the raw (possibly pooled) waveform.
+
+    ``base_channels=128`` reproduces the upstream ladder
+    (128, 128, 256, 512, 1024, 1024, 1024)."""
+
+    base_channels: int = 128
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
         # x: [B, T, 1]
         B = x.shape[0]
         fmap = []
+        bc = self.base_channels
         layer_specs = [
             # (features, kernel, stride, groups, pad)
-            (128, 15, 1, 1, 7),
-            (128, 41, 2, 4, 20),
-            (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20),
-            (1024, 41, 4, 16, 20),
-            (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
+            (bc, 15, 1, 1, 7),
+            (bc, 41, 2, 4, 20),
+            (2 * bc, 41, 2, 16, 20),
+            (4 * bc, 41, 4, 16, 20),
+            (8 * bc, 41, 4, 16, 20),
+            (8 * bc, 41, 1, 16, 20),
+            (8 * bc, 5, 1, 1, 2),
         ]
         for i, (ch, k, s, grp, pad) in enumerate(layer_specs):
             x = ConvWN1DPadded(ch, k, s, grp, pad, name=f"conv_{i}")(x)
@@ -391,16 +407,21 @@ def _avg_pool_1d(x: jax.Array, window: int = 4, stride: int = 2, pad: int = 2):
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """3 scale discriminators at x1, x2-pooled, x4-pooled resolution."""
+    """Scale discriminators at x1, x2-pooled, x4-pooled... resolutions."""
+
+    num_scales: int = 3
+    base_channels: int = 128
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         real_outs, gen_outs, real_fmaps, gen_fmaps = [], [], [], []
-        for i in range(3):
+        for i in range(self.num_scales):
             if i != 0:
                 y = _avg_pool_1d(y)
                 y_hat = _avg_pool_1d(y_hat)
-            d = ScaleDiscriminator(name=f"disc_s{i}")
+            d = ScaleDiscriminator(
+                base_channels=self.base_channels, name=f"disc_s{i}"
+            )
             out_r, fmap_r = d(y)
             out_g, fmap_g = d(y_hat)
             real_outs.append(out_r)

@@ -1,0 +1,78 @@
+"""Synthesis CLI — drop-in equivalent of ``python -m vietTTS.synthesizer``
+(reference synthesizer.py:12-39) with the same flags, plus batch mode.
+
+Usage:
+    python -m viettts_tpu.synthesizer --text "xin chào" --output clip.wav
+    python -m viettts_tpu.synthesizer --text-file lines.txt --output-dir out/
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="TPU-native Vietnamese TTS")
+    parser.add_argument("--text", type=str, help="text to synthesize")
+    parser.add_argument(
+        "--text-file", type=Path,
+        help="file with one utterance per line (batch mode)",
+    )
+    parser.add_argument("--output", default=Path("clip.wav"), type=Path)
+    parser.add_argument(
+        "--output-dir", type=Path, help="output directory for batch mode"
+    )
+    parser.add_argument("--sample-rate", default=16000, type=int)
+    parser.add_argument("--silence-duration", default=-1, type=float)
+    parser.add_argument("--lexicon-file", default=None)
+    parser.add_argument("--ckpt-dir", default=None, type=Path)
+    parser.add_argument("--hifigan-ckpt", default=None, type=Path)
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="config override, e.g. --set dsp.sample_rate=16000",
+    )
+    args = parser.parse_args(argv)
+
+    if not args.text and not args.text_file:
+        parser.error("one of --text / --text-file is required")
+
+    from viettts_tpu.config import Config, apply_overrides
+    from viettts_tpu.data.audio import write_wav
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.text import normalize_text
+
+    cfg = apply_overrides(Config(), args.set)
+    if args.ckpt_dir is not None:
+        cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
+
+    synth = Synthesizer(
+        cfg,
+        hifigan_ckpt=args.hifigan_ckpt,
+        lexicon_file=args.lexicon_file,
+    )
+
+    if args.text:
+        text = normalize_text(args.text)
+        print("Normalized text input:", text)
+        result = synth.synthesize(args.text, args.silence_duration)
+        print("writing output to file", args.output)
+        write_wav(args.output, result.wave, args.sample_rate)
+        return 0
+
+    lines = [
+        ln.strip() for ln in args.text_file.read_text().splitlines() if ln.strip()
+    ]
+    out_dir = args.output_dir or Path("synthesized")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    results = synth.synthesize_batch(lines, args.silence_duration)
+    for i, result in enumerate(results):
+        out = out_dir / f"{i:04d}.wav"
+        print("writing", out)
+        write_wav(out, result.wave, args.sample_rate)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

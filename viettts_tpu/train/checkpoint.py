@@ -228,6 +228,8 @@ def convert_haiku_hifigan(
 # File-level loaders for the reference checkpoint files.
 # ---------------------------------------------------------------------------
 
+NATIVE_FORMAT = "viettts_tpu/v1"
+
 
 def load_reference_duration_ckpt(path: str | Path) -> Dict[str, Any]:
     with open(path, "rb") as f:
@@ -245,3 +247,26 @@ def load_reference_hifigan_ckpt(path: str | Path) -> Dict[str, Any]:
     with open(path, "rb") as f:
         flat = pickle.load(f)
     return convert_haiku_hifigan(flat)
+
+
+def _is_native(dic: Dict) -> bool:
+    return isinstance(dic, dict) and dic.get("format") == NATIVE_FORMAT
+
+
+def load_variables(path: str | Path, kind: str) -> Dict[str, Any]:
+    """Auto-detecting loader: reads either a native viettts_tpu checkpoint
+    or a reference-format pickle and returns flax variables.
+
+    kind: 'duration' | 'acoustic' | 'hifigan'.
+    """
+    with open(path, "rb") as f:
+        dic = pickle.load(f)
+    if _is_native(dic):
+        return dic["variables"]
+    if kind == "duration":
+        return convert_haiku_duration(dic["params"], dic["aux"])
+    if kind == "acoustic":
+        return convert_haiku_acoustic(dic["params"], dic["aux"])
+    if kind == "hifigan":
+        return convert_haiku_hifigan(dic)
+    raise ValueError(f"unknown checkpoint kind {kind!r}")

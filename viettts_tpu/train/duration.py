@@ -1,0 +1,198 @@
+"""Duration model trainer.
+
+Loss and training semantics match the reference
+(/root/reference/vietTTS/nat/duration_trainer.py:19-67): 10% random
+token->word-end masking augmentation, masked L1 over real non-word-end
+tokens, clip+AdamW, resumable checkpoints every 1000 steps with val loss
+every 10.  Runs data-parallel over a ``Mesh`` via plain jit sharding.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from viettts_tpu.config import Config, WORD_END_INDEX
+from viettts_tpu.data.loader import DurationDataset
+from viettts_tpu.models import DurationModel
+from viettts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from viettts_tpu.train.checkpoint import (
+    NATIVE_FORMAT,
+    load_checkpoint,
+    save_checkpoint,
+)
+from viettts_tpu.train.common import (
+    MetricAverager,
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_update_fn,
+    stack_steps,
+)
+from viettts_tpu.types import DurationBatch
+
+
+def make_loss_fn(model: DurationModel, token_mask_prob: float, train: bool):
+    """loss(params, batch_stats, rng, batch) -> (loss, new_batch_stats)."""
+
+    def loss_fn(params, batch_stats, rng, batch: DurationBatch):
+        mask_rng, dropout_rng = jax.random.split(rng)
+        phonemes = batch.phonemes
+        if train and token_mask_prob > 0:
+            m = jax.random.bernoulli(
+                mask_rng, token_mask_prob, phonemes.shape
+            )
+            phonemes = jnp.where(m, WORD_END_INDEX, phonemes)
+            batch = batch._replace(phonemes=phonemes)
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            durations, updates = model.apply(
+                variables,
+                batch,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            durations = model.apply(variables, batch, train=False)
+            new_stats = batch_stats
+
+        L = phonemes.shape[1]
+        mask = jnp.arange(L)[None, :] < batch.lengths[:, None]
+        mask = jnp.where(phonemes == WORD_END_INDEX, False, mask)
+        masked_l1 = jnp.abs(durations - batch.durations) * mask
+        loss = jnp.sum(masked_l1) / jnp.maximum(jnp.sum(mask), 1)
+        return loss, new_stats
+
+    return loss_fn
+
+
+def save_native_ckpt(path: Path, state: TrainState) -> None:
+    save_checkpoint(
+        path,
+        {
+            "format": NATIVE_FORMAT,
+            "step": int(state.step),
+            "variables": {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            },
+            "opt_state": state.opt_state,
+            "rng": state.rng,
+        },
+    )
+
+
+def restore_state(path: Path, optimizer, template: TrainState) -> Optional[TrainState]:
+    dic = load_checkpoint(path)
+    if dic is None or dic.get("format") != NATIVE_FORMAT:
+        return None
+    return TrainState(
+        step=jnp.asarray(dic["step"], jnp.int32),
+        params=jax.tree.map(jnp.asarray, dic["variables"]["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, dic["variables"]["batch_stats"]),
+        opt_state=jax.tree.map(jnp.asarray, dic["opt_state"]),
+        rng=jnp.asarray(dic["rng"]),
+    )
+
+
+def train(cfg: Config = Config(), log_every: int = 1000) -> TrainState:
+    tcfg = cfg.train
+    mesh = make_mesh(tcfg.num_devices)
+    model = DurationModel(cfg.duration)
+    optimizer = make_optimizer(
+        tcfg.duration_learning_rate, tcfg.max_grad_norm, tcfg.weight_decay
+    )
+
+    train_ds = DurationDataset(
+        cfg.data_dir, cfg.data.max_phoneme_seq_len, "train", cfg.data
+    )
+    val_ds = DurationDataset(
+        cfg.data_dir, cfg.data.max_phoneme_seq_len, "val", cfg.data
+    )
+    train_iter = train_ds.batches(tcfg.batch_size, seed=tcfg.seed)
+    val_iter = val_ds.batches(min(tcfg.batch_size, len(val_ds)), seed=0)
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    batch0 = next(train_iter)
+    variables = jax.jit(partial(model.init, train=True))(
+        {"params": rng, "dropout": rng}, batch0
+    )
+    state = init_train_state(
+        variables["params"], variables["batch_stats"], optimizer, rng
+    )
+
+    ckpt_path = Path(cfg.ckpt_dir) / "duration_latest_ckpt.pickle"
+    restored = restore_state(ckpt_path, optimizer, state)
+    if restored is not None:
+        print(f"Resuming from {ckpt_path} at step {int(restored.step)}")
+        state = restored
+    state = replicate(state, mesh)
+
+    update = make_update_fn(
+        make_loss_fn(model, tcfg.token_mask_prob, train=True), optimizer
+    )
+    val_loss_fn = jax.jit(
+        lambda p, s, r, b: make_loss_fn(model, 0.0, train=False)(p, s, r, b)[0]
+    )
+
+    train_avg = MetricAverager(1000)
+    val_avg = MetricAverager(100)
+    spu = tcfg.steps_per_update
+    start = int(state.step)
+    t0 = time.time()
+    steps_done = 0
+    while int(state.step) < tcfg.num_training_steps:
+        batches = stack_steps([next(train_iter) for _ in range(spu)])
+        batches = shard_batch(batches, mesh, batch_axis=1)
+        state, loss = update(state, batches)
+        train_avg.add(loss)
+        steps_done += spu
+        step = start + steps_done
+
+        if step % tcfg.val_interval < spu:
+            vb = shard_batch(next(val_iter), mesh)
+            val_avg.add(val_loss_fn(state.params, state.batch_stats, state.rng, vb))
+
+        if step % tcfg.ckpt_interval < spu:
+            dt = time.time() - t0
+            sps = steps_done / max(dt, 1e-6)
+            print(
+                f"step {step:>7d} | train {train_avg.mean():.5f} | "
+                f"val {val_avg.mean():.5f} | {sps:.1f} steps/s"
+            )
+            save_native_ckpt(ckpt_path, state)
+    save_native_ckpt(ckpt_path, state)
+    return state
+
+
+def main(argv=None):
+    from argparse import ArgumentParser
+
+    from viettts_tpu.config import apply_overrides
+
+    parser = ArgumentParser(description="Train the duration model")
+    parser.add_argument("--data-dir", type=Path, default=None)
+    parser.add_argument("--ckpt-dir", type=Path, default=None)
+    parser.add_argument("--set", action="append", default=[], metavar="K=V")
+    args = parser.parse_args(argv)
+    cfg = apply_overrides(Config(), args.set)
+    if args.data_dir:
+        cfg = cfg.replace(data_dir=args.data_dir)
+    if args.ckpt_dir:
+        cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
+    Path(cfg.ckpt_dir).mkdir(parents=True, exist_ok=True)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,354 @@
+"""HiFi-GAN vocoder trainer (from-scratch and GTA finetuning).
+
+New first-party scope: the reference delegates vocoder GAN training to the
+upstream PyTorch hifi-gan repo (README.md:61-100) and only vendors the
+dataset/loss code for documentation (create_mel.py, torch_model.py:383-414).
+This trainer reproduces that recipe natively:
+
+* random fixed-size segment cropping (``segment_size`` samples per example,
+  create_mel.py:137-171) so every batch is one static shape;
+* generator loss = LSGAN adversarial (MPD + MSD) + 2x feature matching +
+  45x L1 mel loss, discriminator loss = LSGAN (upstream train.py recipe);
+* AdamW(b1=0.8, b2=0.99) with per-step exponential decay approximating the
+  upstream per-epoch 0.999 schedule;
+* ``fine_tuning`` mode pairs GTA-predicted mels (tools/gta.py) with real
+  audio, exactly like the reference finetune path;
+* generator trains with explicit weight-norm reparameterization; weights are
+  folded into plain kernels for the inference checkpoint.
+
+Runs data-parallel over the mesh like the other trainers: one jitted update
+performing a discriminator step then a generator step.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import numpy as np
+import optax
+
+import jax
+import jax.numpy as jnp
+
+from viettts_tpu.config import Config
+from viettts_tpu.data.audio import read_wav
+from viettts_tpu.models.hifigan import (
+    Generator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    feature_matching_loss,
+    fold_weight_norm,
+    generator_adversarial_loss,
+)
+from viettts_tpu.ops.mel import LogMelSpectrogram
+from viettts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from viettts_tpu.train.checkpoint import (
+    NATIVE_FORMAT,
+    load_checkpoint,
+    save_checkpoint,
+)
+from viettts_tpu.train.common import MetricAverager
+
+MEL_LOSS_WEIGHT = 45.0
+FM_LOSS_WEIGHT = 1.0  # feature_matching_loss already multiplies by 2
+
+
+class GanState(NamedTuple):
+    step: jax.Array
+    gen_params: dict
+    disc_params: dict  # {"mpd": ..., "msd": ...}
+    gen_opt: dict
+    disc_opt: dict
+    rng: jax.Array
+
+
+class VocoderDataset:
+    """Waveforms (and optional GTA mels) in RAM; random segment batches.
+
+    Each example yields (mel_input [F, mel_dim], audio [segment_size]):
+    ``mel_input`` is the conditioning mel — GTA-predicted in finetuning,
+    ground-truth otherwise (computed lazily on device from the audio when
+    ``gta_dir`` is None, in which case this yields audio only).
+    """
+
+    def __init__(
+        self,
+        wav_dir: Path,
+        segment_size: int,
+        hop: int,
+        gta_dir: Optional[Path] = None,
+        sample_rate: int = 16000,
+    ):
+        self.segment_size = segment_size
+        self.hop = hop
+        self.frames = segment_size // hop
+        self.wavs = []
+        self.mels = []  # only in finetuning mode
+        self.gta = gta_dir is not None
+        for wav_file in sorted(Path(wav_dir).glob("*.wav")):
+            sr, y = read_wav(wav_file)
+            if y.ndim > 1:
+                y = y[:, 0]
+            y = y.astype(np.float32) / (2.0**15)
+            if len(y) < segment_size + hop:
+                y = np.pad(y, (0, segment_size + hop - len(y)))
+            if self.gta:
+                mel_file = Path(gta_dir) / f"{wav_file.stem}.npy"
+                if not mel_file.exists():
+                    continue
+                mel = np.load(mel_file).T.astype(np.float32)  # [T, D]
+                if mel.shape[0] < self.frames + 1:
+                    continue
+                self.mels.append(mel)
+            self.wavs.append(y)
+        if not self.wavs:
+            raise ValueError(f"no usable audio in {wav_dir}")
+
+    def __len__(self):
+        return len(self.wavs)
+
+    def batches(self, batch_size: int, seed: int = 0) -> Iterator:
+        rng = np.random.RandomState(seed)
+        n = len(self.wavs)
+        while True:
+            idx = rng.randint(0, n, size=batch_size)
+            audio = np.zeros((batch_size, self.segment_size), np.float32)
+            if self.gta:
+                mels = np.zeros(
+                    (batch_size, self.frames, self.mels[0].shape[1]),
+                    np.float32,
+                )
+            for j, i in enumerate(idx):
+                y = self.wavs[i]
+                if self.gta:
+                    mel = self.mels[i]
+                    max_f = min(len(y) // self.hop, mel.shape[0]) - self.frames
+                    f0 = rng.randint(0, max(max_f, 1))
+                    mels[j] = mel[f0 : f0 + self.frames]
+                    audio[j] = y[f0 * self.hop : f0 * self.hop + self.segment_size]
+                else:
+                    s0 = rng.randint(0, len(y) - self.segment_size + 1)
+                    # align crops to hop boundaries so mel(audio) frames
+                    # match conditioning frames
+                    s0 = (s0 // self.hop) * self.hop
+                    audio[j] = y[s0 : s0 + self.segment_size]
+            yield (mels if self.gta else None, audio)
+
+
+def make_gan_step(
+    cfg: Config,
+    generator: Generator,
+    mpd: MultiPeriodDiscriminator,
+    msd: MultiScaleDiscriminator,
+    gen_tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    mel_fn: LogMelSpectrogram,
+):
+    """One jitted GAN update: discriminator step, then generator step."""
+
+    def disc_loss_fn(disc_params, y, y_hat):
+        p_r, p_g, _, _ = mpd.apply(disc_params["mpd"], y, y_hat)
+        s_r, s_g, _, _ = msd.apply(disc_params["msd"], y, y_hat)
+        return discriminator_loss(p_r, p_g) + discriminator_loss(s_r, s_g)
+
+    def gen_loss_fn(gen_params, disc_params, mel_in, y, mel_target):
+        y_hat = generator.apply({"params": gen_params}, mel_in)
+        mel_hat = mel_fn(y_hat[..., 0])
+        mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_target))
+
+        p_r, p_g, p_fr, p_fg = mpd.apply(disc_params["mpd"], y, y_hat)
+        s_r, s_g, s_fr, s_fg = msd.apply(disc_params["msd"], y, y_hat)
+        adv = generator_adversarial_loss(p_g) + generator_adversarial_loss(s_g)
+        fm = feature_matching_loss(p_fr, p_fg) + feature_matching_loss(
+            s_fr, s_fg
+        )
+        loss = adv + FM_LOSS_WEIGHT * fm + MEL_LOSS_WEIGHT * mel_l1
+        return loss, (mel_l1, adv, fm)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: GanState, mel_in, audio):
+        y = audio[..., None]  # [B, S, 1]
+        mel_target = mel_fn(audio)
+        cond = mel_in if mel_in is not None else mel_target
+
+        # --- discriminator step (generator frozen) ---
+        y_hat = generator.apply({"params": state.gen_params}, cond)
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+            state.disc_params, y, y_hat_sg
+        )
+        d_updates, disc_opt = disc_tx.update(
+            d_grads, state.disc_opt, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # --- generator step (new discriminator, frozen) ---
+        (g_loss, (mel_l1, adv, fm)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.gen_params, disc_params, cond, y, mel_target)
+        g_updates, gen_opt = gen_tx.update(
+            g_grads, state.gen_opt, state.gen_params
+        )
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = GanState(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt=gen_opt,
+            disc_opt=disc_opt,
+            rng=state.rng,
+        )
+        metrics = {
+            "disc_loss": d_loss,
+            "gen_loss": g_loss,
+            "mel_l1": mel_l1,
+            "adv": adv,
+            "fm": fm,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def save_vocoder_ckpt(path: Path, state: GanState) -> None:
+    save_checkpoint(
+        path,
+        {
+            "format": NATIVE_FORMAT,
+            "step": int(state.step),
+            "variables": {"params": fold_weight_norm(state.gen_params)},
+            "raw": {
+                "gen_params": state.gen_params,
+                "disc_params": state.disc_params,
+                "gen_opt": state.gen_opt,
+                "disc_opt": state.disc_opt,
+            },
+        },
+    )
+
+
+def train(
+    cfg: Config = Config(),
+    wav_dir: Optional[Path] = None,
+    gta_dir: Optional[Path] = None,
+    num_steps: Optional[int] = None,
+    log_every: int = 1000,
+) -> GanState:
+    hcfg = cfg.hifigan
+    hop = cfg.dsp.hop_length
+    mesh = make_mesh(cfg.train.num_devices)
+    mel_fn = LogMelSpectrogram(cfg.dsp)
+
+    generator = Generator(hcfg, use_wn=True)
+    mpd = MultiPeriodDiscriminator(
+        periods=hcfg.mpd_periods, base_channels=hcfg.mpd_base_channels
+    )
+    msd = MultiScaleDiscriminator(
+        num_scales=hcfg.msd_scales, base_channels=hcfg.msd_base_channels
+    )
+
+    lr = optax.exponential_decay(
+        hcfg.learning_rate, 1000, hcfg.lr_decay, staircase=True
+    )
+    gen_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
+    disc_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
+
+    ds = VocoderDataset(
+        wav_dir or cfg.data_dir,
+        hcfg.segment_size,
+        hop,
+        gta_dir=gta_dir,
+        sample_rate=cfg.dsp.sample_rate,
+    )
+    data = ds.batches(cfg.train.batch_size, seed=cfg.train.seed)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    mel0, audio0 = next(data)
+    cond0 = mel0 if mel0 is not None else np.asarray(mel_fn(jnp.asarray(audio0)))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    gen_params = generator.init(k1, jnp.asarray(cond0))["params"]
+    y0 = jnp.asarray(audio0)[..., None]
+    disc_params = {
+        "mpd": mpd.init(k2, y0, y0),
+        "msd": msd.init(k3, y0, y0),
+    }
+    state = GanState(
+        step=jnp.asarray(0, jnp.int32),
+        gen_params=gen_params,
+        disc_params=disc_params,
+        gen_opt=gen_tx.init(gen_params),
+        disc_opt=disc_tx.init(disc_params),
+        rng=rng,
+    )
+
+    ckpt_path = Path(cfg.ckpt_dir) / "hifigan_latest_ckpt.pickle"
+    dic = load_checkpoint(ckpt_path)
+    if dic is not None and "raw" in dic:
+        print(f"Resuming vocoder from {ckpt_path} at step {dic['step']}")
+        state = GanState(
+            step=jnp.asarray(dic["step"], jnp.int32),
+            gen_params=jax.tree.map(jnp.asarray, dic["raw"]["gen_params"]),
+            disc_params=jax.tree.map(jnp.asarray, dic["raw"]["disc_params"]),
+            gen_opt=jax.tree.map(jnp.asarray, dic["raw"]["gen_opt"]),
+            disc_opt=jax.tree.map(jnp.asarray, dic["raw"]["disc_opt"]),
+            rng=rng,
+        )
+    state = replicate(state, mesh)
+
+    step_fn = make_gan_step(cfg, generator, mpd, msd, gen_tx, disc_tx, mel_fn)
+    num_steps = num_steps or cfg.train.num_training_steps
+
+    avg = {k: MetricAverager(log_every) for k in
+           ("disc_loss", "gen_loss", "mel_l1")}
+    t0 = time.time()
+    done = 0
+    while int(state.step) < num_steps:
+        mel_in, audio = next(data)
+        audio = shard_batch(audio, mesh)
+        if mel_in is not None:
+            mel_in = shard_batch(mel_in, mesh)
+        state, metrics = step_fn(state, mel_in, audio)
+        for k in avg:
+            avg[k].add(metrics[k])
+        done += 1
+        if int(state.step) % log_every == 0:
+            sps = done / max(time.time() - t0, 1e-6)
+            print(
+                f"step {int(state.step):>7d} | disc {avg['disc_loss'].mean():.3f}"
+                f" | gen {avg['gen_loss'].mean():.3f}"
+                f" | mel_l1 {avg['mel_l1'].mean():.4f} | {sps:.2f} steps/s"
+            )
+            save_vocoder_ckpt(ckpt_path, state)
+    save_vocoder_ckpt(ckpt_path, state)
+    return state
+
+
+def main(argv=None):
+    from argparse import ArgumentParser
+
+    from viettts_tpu.config import apply_overrides
+
+    parser = ArgumentParser(description="Train the HiFi-GAN vocoder")
+    parser.add_argument("--wav-dir", type=Path, default=None)
+    parser.add_argument(
+        "--gta-dir", type=Path, default=None,
+        help="GTA mel dir (tools/gta.py output) for finetuning",
+    )
+    parser.add_argument("--ckpt-dir", type=Path, default=None)
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--set", action="append", default=[], metavar="K=V")
+    args = parser.parse_args(argv)
+    cfg = apply_overrides(Config(), args.set)
+    if args.ckpt_dir:
+        cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
+    Path(cfg.ckpt_dir).mkdir(parents=True, exist_ok=True)
+    train(cfg, wav_dir=args.wav_dir, gta_dir=args.gta_dir, num_steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()
