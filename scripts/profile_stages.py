@@ -1,7 +1,9 @@
 """Per-stage timing of the synthesis pipeline on the current backend.
 
 Uses the amortized chained-fetch methodology (see bench.py) because the
-tunneled TPU backend only synchronizes on device->host fetches.
+tunneled TPU backend only synchronizes on device->host fetches.  Each stage
+is compiled exactly once, with an explicit scalar ``dep`` argument that
+threads a data dependency through chained iterations.
 """
 
 import time
@@ -21,19 +23,18 @@ N_FRAMES = 1024
 K = 8
 
 
-def amortized(fn, init, iters=K, trials=3):
-    """Time iters chained applications of fn, subtracting the fetch floor."""
+def amortized(step, iters=K, trials=3):
+    """step(dep_scalar) -> new dep_scalar; times iters chained calls."""
 
     def chain(n):
-        s = init
+        s = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(n):
-            s = fn(s)
-        jax.tree.leaves(s)[0].block_until_ready()
-        _ = np.asarray(jax.tree.leaves(s)[0]).ravel()[0]
+            s = step(s)
+        _ = float(s)
         return time.perf_counter() - t0
 
-    chain(1)  # warm
+    chain(1)  # warm / compile
     floor = min(chain(0) for _ in range(trials))
     total = min(chain(iters) for _ in range(trials))
     return max(total - floor, 0.0) / iters
@@ -51,7 +52,15 @@ def main(batch=1):
         {"params": jax.random.PRNGKey(0)}, DurationBatch(toks, lengths, None)
     )
     dvars = {"params": dvars["params"], "batch_stats": dvars["batch_stats"]}
-    dapply = jax.jit(partial(dm.apply, train=False))
+
+    @jax.jit
+    def dur_step(dep):
+        d = dm.apply(
+            dvars,
+            DurationBatch(toks, lengths + (dep * 0).astype(jnp.int32), None),
+            train=False,
+        )
+        return d[0, 0]
 
     am = AcousticModel(cfg.acoustic)
     ab = AcousticBatch(
@@ -62,42 +71,34 @@ def main(batch=1):
         {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1)}, ab
     )
     avars = {"params": avars["params"], "batch_stats": avars["batch_stats"]}
-    ainfer = jax.jit(
-        partial(am.apply, method=AcousticModel.inference), static_argnums=(3,)
-    )
+
+    @jax.jit
+    def ac_step(dep):
+        mel = am.apply(
+            avars, toks, durations + dep * 0, N_FRAMES, lengths,
+            method=AcousticModel.inference,
+            rngs={"prenet": jax.random.PRNGKey(7)},
+        )
+        return mel[0, 0, 0]
 
     gen = Generator(cfg.hifigan)
     mel0 = jnp.zeros((batch, N_FRAMES, 80))
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
-    vocode = jax.jit(gen.apply)
+
+    @jax.jit
+    def voc_step(dep):
+        wav = gen.apply(gvars, mel0 + dep * 0)
+        return wav[0, 0, 0]
 
     audio_secs = batch * N_FRAMES * cfg.dsp.hop_length / cfg.dsp.sample_rate
 
-    t_dur = amortized(
-        lambda d: dapply(
-            dvars,
-            DurationBatch(toks, lengths, None)._replace(
-                phonemes=toks + (d[0, 0] * 0).astype(jnp.int32)
-            ),
-        ),
-        dapply(dvars, DurationBatch(toks, lengths, None)),
-    )
+    t_dur = amortized(dur_step)
     print(f"duration fwd      : {t_dur*1e3:8.2f} ms")
 
-    t_ac = amortized(
-        lambda m: ainfer(
-            avars, toks, durations + m[0, 0, 0] * 0, N_FRAMES, lengths,
-            rngs={"prenet": jax.random.PRNGKey(7)},
-        ),
-        ainfer(avars, toks, durations, N_FRAMES, lengths,
-               rngs={"prenet": jax.random.PRNGKey(7)}),
-    )
+    t_ac = amortized(ac_step)
     print(f"acoustic AR decode: {t_ac*1e3:8.2f} ms  ({t_ac/N_FRAMES*1e6:.1f} us/frame)")
 
-    t_voc = amortized(
-        lambda w: vocode(gvars, mel0 + w[0, 0, 0] * 0),
-        vocode(gvars, mel0),
-    )
+    t_voc = amortized(voc_step)
     samples = batch * N_FRAMES * 256
     print(f"vocoder           : {t_voc*1e3:8.2f} ms  ({samples/t_voc/1e6:.1f} Msamples/s)")
 

@@ -19,7 +19,7 @@ Everything runs in NWC layout, the natural layout for XLA:TPU convolutions.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -49,12 +49,12 @@ class WNConv(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_wn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         k_shape = (self.kernel_size, in_ch // self.groups, self.features)
-        fan_in = self.kernel_size * in_ch // self.groups
         kernel_init = nn.initializers.normal(0.01)
         if self.use_wn:
             v = self.param("v", kernel_init, k_shape)
@@ -72,15 +72,16 @@ class WNConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         p = _same_pad(self.kernel_size, self.dilation)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=(self.strides,),
             padding=((p, p),),
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
+            preferred_element_type=self.dtype,
         )
-        return y + bias
+        return y + bias.astype(self.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -90,6 +91,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
     use_wn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -100,6 +102,7 @@ class ResBlock1(nn.Module):
                 self.kernel_size,
                 dilation=d,
                 use_wn=self.use_wn,
+                dtype=self.dtype,
                 name=f"convs1_{i}",
             )(xt)
             xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
@@ -108,6 +111,7 @@ class ResBlock1(nn.Module):
                 self.kernel_size,
                 dilation=1,
                 use_wn=self.use_wn,
+                dtype=self.dtype,
                 name=f"convs2_{i}",
             )(xt)
             x = xt + x
@@ -121,6 +125,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3)
     use_wn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -131,6 +136,7 @@ class ResBlock2(nn.Module):
                 self.kernel_size,
                 dilation=d,
                 use_wn=self.use_wn,
+                dtype=self.dtype,
                 name=f"convs_{i}",
             )(xt)
             x = xt + x
@@ -142,6 +148,7 @@ class Generator(nn.Module):
 
     cfg: HifiGanConfig
     use_wn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -149,15 +156,20 @@ class Generator(nn.Module):
         num_kernels = len(cfg.resblock_kernel_sizes)
         res_cls = ResBlock1 if cfg.resblock == "1" else ResBlock2
 
+        x = x.astype(self.dtype)
         x = WNConv(
-            cfg.upsample_initial_channel, 7, use_wn=self.use_wn, name="conv_pre"
+            cfg.upsample_initial_channel, 7, use_wn=self.use_wn,
+            dtype=self.dtype, name="conv_pre",
         )(x)
         for i, (u, k) in enumerate(
             zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
         ):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            x = UpsampleConv(ch, k, u, use_wn=self.use_wn, name=f"ups_{i}")(x)
+            x = UpsampleConv(
+                ch, k, u, use_wn=self.use_wn, dtype=self.dtype,
+                name=f"ups_{i}",
+            )(x)
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
@@ -167,13 +179,16 @@ class Generator(nn.Module):
                     rk,
                     rd,
                     use_wn=self.use_wn,
+                    dtype=self.dtype,
                     name=f"resblock_{i * num_kernels + j}",
                 )(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
         x = jax.nn.leaky_relu(x)  # default slope, matching upstream
-        x = WNConv(1, 7, use_wn=self.use_wn, name="conv_post")(x)
-        return jnp.tanh(x)
+        x = WNConv(
+            1, 7, use_wn=self.use_wn, dtype=self.dtype, name="conv_post"
+        )(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class UpsampleConv(nn.Module):
@@ -188,6 +203,7 @@ class UpsampleConv(nn.Module):
     kernel_size: int
     stride: int
     use_wn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -209,13 +225,14 @@ class UpsampleConv(nn.Module):
             kernel = self.param("kernel", kernel_init, k_shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         y = jax.lax.conv_transpose(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             strides=(self.stride,),
             padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=self.dtype,
         )
-        return y + bias
+        return y + bias.astype(self.dtype)
 
 
 # ---------------------------------------------------------------------------
