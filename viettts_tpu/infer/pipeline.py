@@ -114,7 +114,18 @@ class Synthesizer:
             partial(self._acoustic_model.apply, method=AcousticModel.inference),
             static_argnums=(3,),
         )
-        self._vocode = jax.jit(self._generator.apply)
+        if cfg.hifigan.fused_inference:
+            from viettts_tpu.models.hifigan import generator_apply_fused
+
+            interpret = jax.default_backend() == "cpu"
+            hifi_params = self._hifigan_vars["params"]
+            self._vocode = jax.jit(
+                lambda _vars, mel: generator_apply_fused(
+                    cfg.hifigan, hifi_params, mel, interpret=interpret
+                )
+            )
+        else:
+            self._vocode = jax.jit(self._generator.apply)
 
     # ------------------------------------------------------------------
 

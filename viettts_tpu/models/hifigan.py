@@ -477,6 +477,84 @@ def generator_adversarial_loss(gen_outs) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Fused inference path (Pallas MRF).
+# ---------------------------------------------------------------------------
+
+
+def generator_apply_fused(
+    cfg: HifiGanConfig, params, mel: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Generator forward with each stage's MRF resblock stack fused into a
+    single Pallas kernel (viettts_tpu.ops.mrf) instead of 18 separate XLA
+    convs.  Numerically equivalent to ``Generator(cfg).apply({'params':
+    params}, mel)`` for plain (use_wn=False) params; intended for serving.
+    """
+    from viettts_tpu.ops.mrf import fused_mrf, mrf_weights_from_params
+
+    num_kernels = len(cfg.resblock_kernel_sizes)
+
+    def conv(name, x, k, stride=1, dilation=1, sub=None):
+        entry = params[name] if sub is None else params[name][sub]
+        p = _same_pad(k, dilation)
+        y = jax.lax.conv_general_dilated(
+            x,
+            entry["kernel"],
+            window_strides=(stride,),
+            padding=((p, p),),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + entry["bias"]
+
+    def xla_mrf(x, stage):
+        """Plain-conv MRF for stages too wide for the fused kernel's VMEM
+        budget (XLA already handles wide channels well)."""
+        acc = None
+        for j, (rk, rd) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            block = f"resblock_{stage * num_kernels + j}"
+            r = x
+            for di, d in enumerate(rd):
+                y = jax.nn.leaky_relu(r, LRELU_SLOPE)
+                y = conv(block, y, rk, dilation=d, sub=f"convs1_{di}")
+                y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                y = conv(block, y, rk, dilation=1, sub=f"convs2_{di}")
+                r = y + r
+            acc = r if acc is None else acc + r
+        return acc / num_kernels
+
+    x = conv("conv_pre", mel, 7)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = (
+            jax.lax.conv_transpose(
+                x,
+                params[f"ups_{i}"]["kernel"],
+                strides=(u,),
+                padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            + params[f"ups_{i}"]["bias"]
+        )
+        if ch <= 128 and (128 % ch == 0):
+            weights = mrf_weights_from_params(params, i, num_kernels)
+            x = fused_mrf(
+                x,
+                weights,
+                cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes,
+                interpret=interpret,
+            )
+        else:
+            x = xla_mrf(x, i)
+    x = jax.nn.leaky_relu(x)
+    x = conv("conv_post", x, 7)
+    return jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
 # Weight-norm folding.
 # ---------------------------------------------------------------------------
 
