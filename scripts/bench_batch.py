@@ -1,0 +1,118 @@
+"""Batched long-form synthesis throughput (BASELINE.json config 5:
+"64-utterance batch through full text->mel->waveform pipeline").
+
+Reports audio-seconds generated per wall-clock second per chip for the
+full pipeline and for the vocoder alone, using the chained-dispatch
+methodology from bench.py.  Writes benchmarks/batch_results.json.
+"""
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 64
+N_TOKENS = 256
+N_FRAMES = 768  # ~12.3 s per utterance (the corpus max_wave_len)
+K = 4
+
+
+def amortized(step, iters=K, trials=3):
+    def chain(n):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = step(s)
+        _ = float(s)
+        return time.perf_counter() - t0
+
+    chain(1)
+    floor = min(chain(0) for _ in range(trials))
+    total = min(chain(iters) for _ in range(trials))
+    return max(total - floor, 1e-9) / iters
+
+
+def main():
+    from viettts_tpu.config import Config
+    from viettts_tpu.models import AcousticModel, DurationModel, Generator
+    from viettts_tpu.models.hifigan import generator_apply_fused
+    from viettts_tpu.types import AcousticBatch, DurationBatch
+
+    cfg = Config()
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, 93, (BATCH, N_TOKENS)), jnp.int32)
+    lengths = jnp.asarray([N_TOKENS] * BATCH, jnp.int32)
+    durations = jnp.full((BATCH, N_TOKENS), N_FRAMES / N_TOKENS, jnp.float32)
+
+    dm = DurationModel(cfg.duration)
+    dvars = jax.jit(partial(dm.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, DurationBatch(toks, lengths, None)
+    )
+    dvars = {"params": dvars["params"], "batch_stats": dvars["batch_stats"]}
+    dapply = jax.jit(partial(dm.apply, train=False))
+
+    am = AcousticModel(cfg.acoustic)
+    ab = AcousticBatch(
+        toks, lengths, durations, None, None,
+        jnp.zeros((BATCH, N_FRAMES, 80)),
+    )
+    avars = jax.jit(partial(am.init, train=False))(
+        {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1)}, ab
+    )
+    avars = {"params": avars["params"], "batch_stats": avars["batch_stats"]}
+    ainfer = jax.jit(
+        partial(am.apply, method=AcousticModel.inference), static_argnums=(3,)
+    )
+
+    gen = Generator(cfg.hifigan)
+    mel0 = jnp.zeros((BATCH, N_FRAMES, 80))
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
+    hifi_params = gvars["params"]
+    if jax.default_backend() != "cpu":
+        vocode = jax.jit(
+            lambda mel: generator_apply_fused(cfg.hifigan, hifi_params, mel)
+        )
+    else:
+        vocode = jax.jit(lambda mel: gen.apply(gvars, mel))
+
+    audio_secs = BATCH * N_FRAMES * cfg.dsp.hop_length / cfg.dsp.sample_rate
+
+    def full(s):
+        d = dapply(dvars, DurationBatch(toks, lengths, None)) + s * 0.0
+        scale = N_FRAMES / jnp.sum(d, axis=1, keepdims=True)
+        mel = ainfer(
+            avars, toks, d * scale, N_FRAMES, lengths,
+            rngs={"prenet": jax.random.PRNGKey(7)},
+        )
+        return vocode(mel)[0, 0, 0]
+
+    def voc_only(s):
+        return vocode(mel0 + s * 0.0)[0, 0, 0]
+
+    t_full = amortized(full)
+    t_voc = amortized(voc_only)
+
+    results = {
+        "batch": BATCH,
+        "frames_per_utt": N_FRAMES,
+        "audio_seconds_per_batch": audio_secs,
+        "full_pipeline_ms": t_full * 1e3,
+        "full_pipeline_rtf": t_full / audio_secs,
+        "full_pipeline_audio_secs_per_sec": audio_secs / t_full,
+        "vocoder_ms": t_voc * 1e3,
+        "vocoder_samples_per_sec": BATCH * N_FRAMES * 256 / t_voc,
+        "backend": jax.default_backend(),
+    }
+    out = Path("benchmarks")
+    out.mkdir(exist_ok=True)
+    (out / "batch_results.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

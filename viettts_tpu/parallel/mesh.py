@@ -24,6 +24,32 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: call once per host before building a mesh.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects on Cloud
+    TPU pods when called with no arguments).  After this,
+    ``jax.devices()`` spans the whole slice and ``make_mesh`` builds a
+    global mesh whose collectives ride ICI within a slice and DCN across
+    slices.  The reference has no multi-host story at all
+    (acoustic_tpu_trainer.py is single-process pmap).
+    """
+    import jax.distributed
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     num_devices: int = -1, axis_names: Sequence[str] = ("data",)
 ) -> Mesh:

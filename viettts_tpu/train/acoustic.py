@@ -159,34 +159,37 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     steps_done = 0
     t0 = time.time()
     val_snapshot = None
-    while int(state.step) < tcfg.num_training_steps:
-        batches = stack_steps([next(train_iter) for _ in range(spu)])
-        batches = shard_batch(batches, mesh, batch_axis=1)
-        state, loss = update(state, batches)
-        train_avg.add(loss)
-        steps_done += spu
-        step = start + steps_done
+    from viettts_tpu.utils.profiling import trace
 
-        if step % tcfg.val_interval < spu:
-            vb = shard_batch(next(val_iter), mesh)
-            vloss, (_, extra) = val_fn(
-                state.params, state.batch_stats, state.rng, vb
-            )
-            val_avg.add(vloss)
-            val_snapshot = extra
+    with trace():  # device trace when VIETTTS_PROFILE_DIR is set
+        while int(state.step) < tcfg.num_training_steps:
+            batches = stack_steps([next(train_iter) for _ in range(spu)])
+            batches = shard_batch(batches, mesh, batch_axis=1)
+            state, loss = update(state, batches)
+            train_avg.add(loss)
+            steps_done += spu
+            step = start + steps_done
 
-        if step % tcfg.ckpt_interval < spu:
-            dt = time.time() - t0
-            sps = steps_done / max(dt, 1e-6)
-            print(
-                f"step {step:>7d} | train {train_avg.mean():.4f} | "
-                f"val {val_avg.mean():.4f} | {sps:.2f} steps/s"
-            )
-            save_native_ckpt(ckpt_path, state)
-            if save_plots and val_snapshot is not None:
-                _save_triptych(
-                    Path(cfg.ckpt_dir) / f"mel_{step:06d}.png", val_snapshot
+            if step % tcfg.val_interval < spu:
+                vb = shard_batch(next(val_iter), mesh)
+                vloss, (_, extra) = val_fn(
+                    state.params, state.batch_stats, state.rng, vb
                 )
+                val_avg.add(vloss)
+                val_snapshot = extra
+
+            if step % tcfg.ckpt_interval < spu:
+                dt = time.time() - t0
+                sps = steps_done / max(dt, 1e-6)
+                print(
+                    f"step {step:>7d} | train {train_avg.mean():.4f} | "
+                    f"val {val_avg.mean():.4f} | {sps:.2f} steps/s"
+                )
+                save_native_ckpt(ckpt_path, state)
+                if save_plots and val_snapshot is not None:
+                    _save_triptych(
+                        Path(cfg.ckpt_dir) / f"mel_{step:06d}.png", val_snapshot
+                    )
     save_native_ckpt(ckpt_path, state)
     return state
 

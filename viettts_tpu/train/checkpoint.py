@@ -60,6 +60,35 @@ def load_checkpoint(path: str | Path) -> Optional[Dict[str, Any]]:
 
 
 # ---------------------------------------------------------------------------
+# Orbax (sharded / async) checkpoints — for large multi-host runs where a
+# single pickle is impractical.  Same payload contract as save_checkpoint.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(dirpath: str | Path, payload: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    dirpath = Path(dirpath).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(dirpath, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(
+    dirpath: str | Path, template: Optional[Dict[str, Any]] = None
+) -> Optional[Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    dirpath = Path(dirpath).resolve()
+    if not dirpath.exists():
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(dirpath, template)
+    return ckptr.restore(dirpath)
+
+
+# ---------------------------------------------------------------------------
 # Haiku conversion helpers.
 # ---------------------------------------------------------------------------
 

@@ -151,26 +151,29 @@ def train(cfg: Config = Config(), log_every: int = 1000) -> TrainState:
     start = int(state.step)
     t0 = time.time()
     steps_done = 0
-    while int(state.step) < tcfg.num_training_steps:
-        batches = stack_steps([next(train_iter) for _ in range(spu)])
-        batches = shard_batch(batches, mesh, batch_axis=1)
-        state, loss = update(state, batches)
-        train_avg.add(loss)
-        steps_done += spu
-        step = start + steps_done
+    from viettts_tpu.utils.profiling import trace
 
-        if step % tcfg.val_interval < spu:
-            vb = shard_batch(next(val_iter), mesh)
-            val_avg.add(val_loss_fn(state.params, state.batch_stats, state.rng, vb))
+    with trace():  # device trace when VIETTTS_PROFILE_DIR is set
+        while int(state.step) < tcfg.num_training_steps:
+            batches = stack_steps([next(train_iter) for _ in range(spu)])
+            batches = shard_batch(batches, mesh, batch_axis=1)
+            state, loss = update(state, batches)
+            train_avg.add(loss)
+            steps_done += spu
+            step = start + steps_done
 
-        if step % tcfg.ckpt_interval < spu:
-            dt = time.time() - t0
-            sps = steps_done / max(dt, 1e-6)
-            print(
-                f"step {step:>7d} | train {train_avg.mean():.5f} | "
-                f"val {val_avg.mean():.5f} | {sps:.1f} steps/s"
-            )
-            save_native_ckpt(ckpt_path, state)
+            if step % tcfg.val_interval < spu:
+                vb = shard_batch(next(val_iter), mesh)
+                val_avg.add(val_loss_fn(state.params, state.batch_stats, state.rng, vb))
+
+            if step % tcfg.ckpt_interval < spu:
+                dt = time.time() - t0
+                sps = steps_done / max(dt, 1e-6)
+                print(
+                    f"step {step:>7d} | train {train_avg.mean():.5f} | "
+                    f"val {val_avg.mean():.5f} | {sps:.1f} steps/s"
+                )
+                save_native_ckpt(ckpt_path, state)
     save_native_ckpt(ckpt_path, state)
     return state
 

@@ -307,23 +307,26 @@ def train(
            ("disc_loss", "gen_loss", "mel_l1")}
     t0 = time.time()
     done = 0
-    while int(state.step) < num_steps:
-        mel_in, audio = next(data)
-        audio = shard_batch(audio, mesh)
-        if mel_in is not None:
-            mel_in = shard_batch(mel_in, mesh)
-        state, metrics = step_fn(state, mel_in, audio)
-        for k in avg:
-            avg[k].add(metrics[k])
-        done += 1
-        if int(state.step) % log_every == 0:
-            sps = done / max(time.time() - t0, 1e-6)
-            print(
-                f"step {int(state.step):>7d} | disc {avg['disc_loss'].mean():.3f}"
-                f" | gen {avg['gen_loss'].mean():.3f}"
-                f" | mel_l1 {avg['mel_l1'].mean():.4f} | {sps:.2f} steps/s"
-            )
-            save_vocoder_ckpt(ckpt_path, state)
+    from viettts_tpu.utils.profiling import trace
+
+    with trace():  # device trace when VIETTTS_PROFILE_DIR is set
+        while int(state.step) < num_steps:
+            mel_in, audio = next(data)
+            audio = shard_batch(audio, mesh)
+            if mel_in is not None:
+                mel_in = shard_batch(mel_in, mesh)
+            state, metrics = step_fn(state, mel_in, audio)
+            for k in avg:
+                avg[k].add(metrics[k])
+            done += 1
+            if int(state.step) % log_every == 0:
+                sps = done / max(time.time() - t0, 1e-6)
+                print(
+                    f"step {int(state.step):>7d} | disc {avg['disc_loss'].mean():.3f}"
+                    f" | gen {avg['gen_loss'].mean():.3f}"
+                    f" | mel_l1 {avg['mel_l1'].mean():.4f} | {sps:.2f} steps/s"
+                )
+                save_vocoder_ckpt(ckpt_path, state)
     save_vocoder_ckpt(ckpt_path, state)
     return state
 
