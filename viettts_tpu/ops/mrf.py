@@ -131,6 +131,7 @@ def _mrf_kernel(
     Tp: int,
     Hp: int,
     total_rows: int,
+    compute_dtype=jnp.float32,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -165,12 +166,13 @@ def _mrf_kernel(
         qmin, qmax = offsets[0], offsets[-1]
         left = max(0, -qmin)
         right = max(0, qmax)
+        inp = inp.astype(compute_dtype)
         if left or right:
             xpad = jnp.concatenate(
                 [
-                    jnp.zeros((left, W), jnp.float32),
+                    jnp.zeros((left, W), compute_dtype),
                     inp,
-                    jnp.zeros((right, W), jnp.float32),
+                    jnp.zeros((right, W), compute_dtype),
                 ],
                 axis=0,
             )
@@ -180,7 +182,7 @@ def _mrf_kernel(
         for qi, q in enumerate(offsets):
             contrib = jax.lax.dot_general(
                 jax.lax.slice(xpad, (q - qmin, 0), (q - qmin + Pp, W)),
-                a_buf_ref[qi],
+                a_buf_ref[qi].astype(compute_dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -216,6 +218,7 @@ def fused_mrf(
     dilations: Sequence[Sequence[int]],
     *,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Apply the fused MRF stack to x [B, L, C]; returns [B, L, C] f32.
 
@@ -281,6 +284,7 @@ def fused_mrf(
         Tp=Tp,
         Hp=Hp,
         total_rows=rows,
+        compute_dtype=compute_dtype,
     )
 
     out = pl.pallas_call(
