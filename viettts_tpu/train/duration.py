@@ -105,7 +105,28 @@ def restore_state(path: Path, optimizer, template: TrainState) -> Optional[Train
     )
 
 
-def train(cfg: Config = Config(), log_every: int = 1000) -> TrainState:
+def _save_duration_plot(path: Path, predicted, target, length: int) -> None:
+    """Predicted-vs-ground-truth duration curves PNG (reference
+    duration_trainer.py:79-89)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    plt.figure()
+    plt.plot(np.asarray(predicted)[:length])
+    plt.plot(np.asarray(target)[:length])
+    plt.legend(["predicted", "gt"])
+    plt.title("Phoneme durations")
+    plt.savefig(path)
+    plt.close()
+
+
+def train(
+    cfg: Config = Config(), log_every: int = 1000, save_plots: bool = False
+) -> TrainState:
     tcfg = cfg.train
     mesh = make_mesh(tcfg.num_devices)
     model = DurationModel(cfg.duration)
@@ -144,6 +165,7 @@ def train(cfg: Config = Config(), log_every: int = 1000) -> TrainState:
     val_loss_fn = jax.jit(
         lambda p, s, r, b: make_loss_fn(model, 0.0, train=False)(p, s, r, b)[0]
     )
+    predict_fn = jax.jit(partial(model.apply, train=False))
 
     train_avg = MetricAverager(1000)
     val_avg = MetricAverager(100)
@@ -174,6 +196,21 @@ def train(cfg: Config = Config(), log_every: int = 1000) -> TrainState:
                     f"val {val_avg.mean():.5f} | {sps:.1f} steps/s"
                 )
                 save_native_ckpt(ckpt_path, state)
+                if save_plots:
+                    vb = next(val_iter)
+                    pred = predict_fn(
+                        {
+                            "params": state.params,
+                            "batch_stats": state.batch_stats,
+                        },
+                        vb,
+                    )
+                    _save_duration_plot(
+                        Path(cfg.ckpt_dir) / f"duration_{step:06d}.png",
+                        pred[0],
+                        vb.durations[0],
+                        int(vb.lengths[0]),
+                    )
     save_native_ckpt(ckpt_path, state)
     return state
 
