@@ -200,6 +200,9 @@ class TrainConfig:
     ckpt_interval: int = 1000
     # Data-parallel mesh axis size; -1 = all available devices.
     num_devices: int = -1
+    # ZeRO/FSDP-style parameter+optimizer sharding across the data axis
+    # (large leaves split, XLA inserts all-gathers/reduce-scatters).
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)

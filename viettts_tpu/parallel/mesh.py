@@ -104,3 +104,30 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (params/optimizer state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def fsdp_sharding_for(x: Any, mesh: Mesh, min_size: int = 2**16) -> NamedSharding:
+    """ZeRO/FSDP-style sharding for one parameter leaf: split the largest
+    divisible axis across the ``data`` mesh axis; small or indivisible
+    leaves stay replicated.  XLA inserts the all-gathers at use sites and
+    reduce-scatters for the gradients."""
+    n = mesh.shape["data"]
+    shape = x.shape
+    if np.prod(shape, dtype=np.int64) < min_size:
+        return replicated_sharding(mesh)
+    # largest axis divisible by the mesh size
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for axis in order:
+        if shape[axis] % n == 0:
+            spec = [None] * len(shape)
+            spec[axis] = "data"
+            return NamedSharding(mesh, P(*spec))
+    return replicated_sharding(mesh)
+
+
+def shard_params_fsdp(tree: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
+    """Place a parameter/optimizer pytree with FSDP sharding (large leaves
+    split across the ``data`` axis, small ones replicated)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, fsdp_sharding_for(x, mesh, min_size)), tree
+    )

@@ -27,7 +27,12 @@ from viettts_tpu.config import Config
 from viettts_tpu.data.loader import AcousticDataset, device_prefetch
 from viettts_tpu.models import AcousticModel
 from viettts_tpu.ops.mel import LogMelSpectrogram
-from viettts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from viettts_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_fsdp,
+)
 from viettts_tpu.train.checkpoint import NATIVE_FORMAT, save_checkpoint
 from viettts_tpu.train.common import (
     MetricAverager,
@@ -141,7 +146,10 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     if restored is not None:
         print(f"Resuming from {ckpt_path} at step {int(restored.step)}")
         state = restored
-    state = replicate(state, mesh)
+    if tcfg.fsdp:
+        state = shard_params_fsdp(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     update = make_update_fn(
         make_loss_fn(model, mel_fn, hop, train=True), optimizer

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 from viettts_tpu.config import Config, WORD_END_INDEX
 from viettts_tpu.data.loader import DurationDataset
 from viettts_tpu.models import DurationModel
-from viettts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from viettts_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_fsdp,
+)
 from viettts_tpu.train.checkpoint import (
     NATIVE_FORMAT,
     load_checkpoint,
@@ -157,7 +162,10 @@ def train(
     if restored is not None:
         print(f"Resuming from {ckpt_path} at step {int(restored.step)}")
         state = restored
-    state = replicate(state, mesh)
+    if tcfg.fsdp:
+        state = shard_params_fsdp(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     update = make_update_fn(
         make_loss_fn(model, tcfg.token_mask_prob, train=True), optimizer
