@@ -36,7 +36,6 @@ import math
 from functools import partial
 from typing import List, Sequence, Tuple
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from viettts_tpu.config import Config
-from viettts_tpu.data.loader import AcousticDataset, device_prefetch
+from viettts_tpu.data.loader import AcousticDataset
 from viettts_tpu.models import AcousticModel
 from viettts_tpu.ops.mel import LogMelSpectrogram
 from viettts_tpu.parallel.mesh import (

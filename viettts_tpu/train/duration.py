@@ -130,7 +130,7 @@ def _save_duration_plot(path: Path, predicted, target, length: int) -> None:
 
 
 def train(
-    cfg: Config = Config(), log_every: int = 1000, save_plots: bool = False
+    cfg: Config = Config(), save_plots: bool = False
 ) -> TrainState:
     tcfg = cfg.train
     mesh = make_mesh(tcfg.num_devices)
