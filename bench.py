@@ -111,12 +111,58 @@ def main():
     for _ in range(WARMUP):
         run_chain(1)
 
-    floor = min(run_chain(0) for _ in range(3))
+    floor = min(run_chain(0) for _ in range(2))
     K = ITERS
-    total = min(run_chain(K) for _ in range(3))
+    total = min(run_chain(K) for _ in range(2))
     elapsed = max(total - floor, 1e-9) / K
     audio_seconds = BATCH * N_FRAMES * cfg.dsp.hop_length / cfg.dsp.sample_rate
     rtf = elapsed / audio_seconds
+
+    # Secondary metrics (BASELINE.json tracks vocoder samples/sec and
+    # acoustic mel frames/sec as well) -> benchmarks/results.json.
+    def sub_time(step):
+        def chain(n):
+            s = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s = step(s)
+            _ = float(s)
+            return time.perf_counter() - t0
+
+        chain(1)
+        fl = chain(0)
+        tt = min(chain(ITERS) for _ in range(2))
+        return max(tt - fl, 1e-9) / ITERS
+
+    mel_fixed = jnp.zeros((BATCH, N_FRAMES, cfg.acoustic.mel_dim))
+    durs_fixed = jnp.full(
+        (BATCH, N_TOKENS), N_FRAMES / N_TOKENS, jnp.float32
+    )
+    t_voc = sub_time(lambda s: vocode(gvars, mel_fixed + s * 0.0)[0, 0, 0])
+    t_ac = sub_time(
+        lambda s: decode_mel(
+            avars, toks, durs_fixed + s * 0.0, N_FRAMES, lengths,
+            rngs={"prenet": prenet_key},
+        )[0, 0, 0]
+    )
+    details = {
+        "end_to_end_rtf": rtf,
+        "vocoder_samples_per_sec": BATCH * N_FRAMES * 256 / t_voc,
+        "acoustic_mel_frames_per_sec": BATCH * N_FRAMES / t_ac,
+        "batch": BATCH,
+        "n_frames": N_FRAMES,
+        "backend": jax.default_backend(),
+    }
+    try:
+        from pathlib import Path
+
+        Path("benchmarks").mkdir(exist_ok=True)
+        (Path("benchmarks") / "results.json").write_text(
+            json.dumps(details, indent=2)
+        )
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {

@@ -130,6 +130,12 @@ def test_bucketing_no_recompile(synth):
     assert a.wave is not None and b.wave is not None
 
 
+def test_warmup(synth):
+    synth.warmup(frame_buckets=(128,), batch_sizes=(1,))
+    r = synth.synthesize("một hai")
+    assert r.wave is not None
+
+
 def test_cli_single(tiny_cfg, ckpt_dir, tmp_path, monkeypatch):
     from viettts_tpu import synthesizer as cli
     import viettts_tpu.config as config_mod

@@ -129,6 +129,30 @@ class Synthesizer:
 
     # ------------------------------------------------------------------
 
+    def warmup(
+        self,
+        frame_buckets: Sequence[int] = (FRAME_BUCKET,),
+        batch_sizes: Sequence[int] = (1,),
+    ) -> None:
+        """Pre-compile the decode + vocoder programs for the given frame
+        buckets and batch sizes, so first real requests don't pay XLA
+        compilation latency."""
+        for b in batch_sizes:
+            toks = jnp.zeros((b, self.token_buckets[0]), jnp.int32)
+            lengths = jnp.full((b,), 2, jnp.int32)
+            self._predict_durations(
+                self._duration_vars, DurationBatch(toks, lengths, None)
+            )
+            for nf in frame_buckets:
+                durs = jnp.full(
+                    (b, self.token_buckets[0]), nf / self.token_buckets[0]
+                )
+                mel = self._decode_mel(
+                    self._acoustic_vars, toks, durs, int(nf), lengths,
+                    rngs={"prenet": self._prenet_key},
+                )
+                jax.block_until_ready(self._vocode(self._hifigan_vars, mel))
+
     def text_to_token_ids(self, text: str) -> List[int]:
         return text_to_tokens(normalize_text(text), self.lexicon)
 

@@ -150,18 +150,35 @@ def _mrf_kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (Pp, 1), 0) + i * Tp
     valid = jnp.logical_and(row_ids >= Hp, row_ids < Hp + total_rows)
 
+    # Flat conv order for double-buffered A-matrix streaming: the next
+    # conv's packed matrices are prefetched while the current one computes.
+    flat_plan = [
+        conv
+        for blk_plan in conv_plan
+        for pair in blk_plan
+        for conv in pair
+    ]
+
+    def a_copy(idx):
+        offsets, start = flat_plan[idx]
+        return pltpu.make_async_copy(
+            a_all_ref.at[pl.ds(start, len(offsets))],
+            a_buf_ref.at[idx % 2, pl.ds(0, len(offsets))],
+            sem_a.at[idx % 2],
+        )
+
+    a_copy(0).start()
+
     conv_counter = [0]
 
     def packed_conv(inp, offsets, start):
-        """One packed conv: stream its A matrices, sum the q-matmuls."""
-        nq = len(offsets)
-        cp = pltpu.make_async_copy(
-            a_all_ref.at[pl.ds(start, nq)],
-            a_buf_ref.at[pl.ds(0, nq)],
-            sem_a,
-        )
-        cp.start()
-        cp.wait()
+        """One packed conv: A matrices were prefetched; kick off the next
+        conv's prefetch, then sum the q-matmuls."""
+        idx = conv_counter[0]
+        if idx + 1 < len(flat_plan):
+            a_copy(idx + 1).start()
+        a_copy(idx).wait()
+        slot = idx % 2
         qmin, qmax = offsets[0], offsets[-1]
         left = max(0, -qmin)
         right = max(0, qmax)
@@ -181,7 +198,7 @@ def _mrf_kernel(
         for qi, q in enumerate(offsets):
             contrib = jax.lax.dot_general(
                 jax.lax.slice(xpad, (q - qmin, 0), (q - qmin + Pp, W)),
-                a_buf_ref[qi].astype(compute_dtype),
+                a_buf_ref[slot, qi].astype(compute_dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -300,9 +317,9 @@ def fused_mrf(
         out_shape=jax.ShapeDtypeStruct((B, rows, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((Tp + 2 * Hp, W), jnp.float32),
-            pltpu.VMEM((max_nq, W, W), jnp.float32),
+            pltpu.VMEM((2, max_nq, W, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, a_all, bias_all)
