@@ -63,7 +63,13 @@ def main():
     )
     avars = {"params": avars["params"], "batch_stats": avars["batch_stats"]}
     decode_mel = jax.jit(
-        partial(am.apply, method=AcousticModel.inference), static_argnums=(3,)
+        partial(
+            am.apply,
+            method=AcousticModel.inference,
+            use_pallas=cfg.acoustic.fused_decode
+            and jax.default_backend() != "cpu",
+        ),
+        static_argnums=(3,),
     )
 
     gen = Generator(cfg.hifigan)

@@ -111,6 +111,10 @@ class AcousticModelConfig:
     # Gaussian upsampling temperature: weights = softmax(-(d^2)/sigma2)
     # (reference model.py:107 uses sigma2 = 10.0).
     upsample_sigma2: float = 10.0
+    # serving: run the AR decode loop as a fused Pallas kernel (weights
+    # VMEM-resident, conditioning gates streamed; ~1.6x on v5e).  Requires
+    # n_frames to be a multiple of 64 (guaranteed by frame bucketing).
+    fused_decode: bool = True
 
 
 @dataclass(frozen=True)

@@ -111,7 +111,11 @@ class Synthesizer:
             partial(self._duration_model.apply, train=False)
         )
         self._decode_mel = jax.jit(
-            partial(self._acoustic_model.apply, method=AcousticModel.inference),
+            partial(
+                self._acoustic_model.apply,
+                method=AcousticModel.inference,
+                use_pallas=cfg.acoustic.fused_decode,
+            ),
             static_argnums=(3,),
         )
         if cfg.hifigan.fused_inference:

@@ -249,6 +249,7 @@ class AcousticModel(nn.Module):
         durations: jax.Array,
         n_frames: int,
         lengths: Optional[jax.Array] = None,
+        use_pallas: bool = False,
     ) -> jax.Array:
         """Autoregressive decode: [B, T] tokens + [B, T] frame durations ->
         [B, n_frames, mel_dim] log-mels (post-postnet).
@@ -295,6 +296,19 @@ class AcousticModel(nn.Module):
 
         k_fc1, k_fc2 = self.prenet_k1, self.prenet_k2
         lstm1, lstm2 = self.lstm1, self.lstm2
+
+        if use_pallas:
+            from viettts_tpu.ops.ar_decoder import ar_decode
+
+            mel = ar_decode(
+                g1c, g2c, keep1, keep2,
+                k_fc1, k_fc2,
+                w1_p, lstm1.w_h, w2_p, w2_h1, lstm2.w_h,
+                self.proj_kernel, proj_bias, scale,
+                interpret=jax.default_backend() == "cpu",
+            )
+            residual = self.postnet(mel, train=False)
+            return mel + residual
 
         def step(carry, inp):
             prev_mel, s1, s2 = carry
