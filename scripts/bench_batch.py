@@ -65,13 +65,10 @@ def main():
         {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1)}, ab
     )
     avars = {"params": avars["params"], "batch_stats": avars["batch_stats"]}
+    # large batch: the scan decode path (the fused Pallas loop's VMEM
+    # budget only fits small batches; see infer/pipeline.py)
     ainfer = jax.jit(
-        partial(
-            am.apply,
-            method=AcousticModel.inference,
-            use_pallas=cfg.acoustic.fused_decode
-            and jax.default_backend() != "cpu",
-        ),
+        partial(am.apply, method=AcousticModel.inference, use_pallas=False),
         static_argnums=(3,),
     )
 

@@ -110,14 +110,28 @@ class Synthesizer:
         self._predict_durations = jax.jit(
             partial(self._duration_model.apply, train=False)
         )
-        self._decode_mel = jax.jit(
+        # Two decode programs: the fused Pallas loop keeps all decoder
+        # weights + streamed gate chunks in VMEM, which only fits for small
+        # batches; large batches use the lax.scan path (whose batched
+        # matmuls are efficient anyway).
+        self._decode_mel_fused = jax.jit(
             partial(
                 self._acoustic_model.apply,
                 method=AcousticModel.inference,
-                use_pallas=cfg.acoustic.fused_decode,
+                use_pallas=True,
             ),
             static_argnums=(3,),
         )
+        self._decode_mel_scan = jax.jit(
+            partial(
+                self._acoustic_model.apply,
+                method=AcousticModel.inference,
+                use_pallas=False,
+            ),
+            static_argnums=(3,),
+        )
+        self._fused_decode_max_batch = 4 if cfg.acoustic.fused_decode else 0
+
         if cfg.hifigan.fused_inference:
             from viettts_tpu.models.hifigan import generator_apply_fused
 
@@ -130,6 +144,15 @@ class Synthesizer:
             )
         else:
             self._vocode = jax.jit(self._generator.apply)
+
+    def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
+        if toks.shape[0] <= self._fused_decode_max_batch:
+            return self._decode_mel_fused(
+                variables, toks, frames, n_frames, lengths, rngs=rngs
+            )
+        return self._decode_mel_scan(
+            variables, toks, frames, n_frames, lengths, rngs=rngs
+        )
 
     # ------------------------------------------------------------------
 
