@@ -164,3 +164,30 @@ def test_cli_single(tiny_cfg, ckpt_dir, tmp_path, monkeypatch):
     sr, wav = read_wav(out)
     assert sr == 16000
     assert len(wav) > 0
+
+
+def test_cli_save_mel(tiny_cfg, ckpt_dir, tmp_path):
+    from viettts_tpu import synthesizer as cli
+
+    out = tmp_path / "out.wav"
+    mel_path = tmp_path / "mel"
+    rc = cli.main(
+        [
+            "--text", "ba",
+            "--output", str(out),
+            "--save-mel", str(mel_path),
+            "--ckpt-dir", str(ckpt_dir),
+            "--set", "duration.lstm_dim=16",
+            "--set", "acoustic.encoder_dim=16",
+            "--set", "acoustic.decoder_dim=16",
+            "--set", "acoustic.prenet_dim=8",
+            "--set", "acoustic.postnet_dim=8",
+            "--set", "hifigan.upsample_initial_channel=16",
+            "--set", "hifigan.resblock_kernel_sizes=3",
+        ]
+    )
+    assert rc == 0
+    import numpy as np
+
+    mel = np.load(mel_path.with_suffix(".npy"))
+    assert mel.ndim == 2 and mel.shape[1] == 80

@@ -27,6 +27,11 @@ def main(argv=None):
     parser.add_argument("--sample-rate", default=16000, type=int)
     parser.add_argument("--silence-duration", default=-1, type=float)
     parser.add_argument("--lexicon-file", default=None)
+    parser.add_argument(
+        "--save-mel", type=Path, default=None,
+        help="also save the log-mel as .npy (and .png if matplotlib is "
+        "available) — the reference's standalone text2mel output",
+    )
     parser.add_argument("--ckpt-dir", default=None, type=Path)
     parser.add_argument("--hifigan-ckpt", default=None, type=Path)
     parser.add_argument(
@@ -59,6 +64,22 @@ def main(argv=None):
         result = synth.synthesize(args.text, args.silence_duration)
         print("writing output to file", args.output)
         write_wav(args.output, result.wave, args.sample_rate)
+        if args.save_mel is not None:
+            import numpy as np
+
+            np.save(args.save_mel.with_suffix(".npy"), result.mel)
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.figure(figsize=(10, 5))
+                plt.imshow(result.mel.T, origin="lower", aspect="auto")
+                plt.savefig(args.save_mel.with_suffix(".png"))
+                plt.close()
+            except Exception:
+                pass
         return 0
 
     lines = [
