@@ -344,16 +344,24 @@ class ScaleDiscriminator(nn.Module):
     """Stacked grouped 1D convs over the raw (possibly pooled) waveform.
 
     ``base_channels=128`` reproduces the upstream ladder
-    (128, 128, 256, 512, 1024, 1024, 1024)."""
+    (128, 128, 256, 512, 1024, 1024, 1024).  ``use_spectral_norm`` switches
+    the kernels from weight norm to spectral norm — upstream uses spectral
+    norm for the first (unpooled) scale discriminator
+    (torch_model.py:322-326)."""
 
     base_channels: int = 128
+    use_spectral_norm: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+    def __call__(
+        self, x: jax.Array, update_stats: bool = False
+    ) -> Tuple[jax.Array, List[jax.Array]]:
         # x: [B, T, 1]
         B = x.shape[0]
         fmap = []
         bc = self.base_channels
+        conv_cls = ConvSN1DPadded if self.use_spectral_norm else ConvWN1DPadded
+        kw = {"update_stats": update_stats} if self.use_spectral_norm else {}
         layer_specs = [
             # (features, kernel, stride, groups, pad)
             (bc, 15, 1, 1, 7),
@@ -365,10 +373,10 @@ class ScaleDiscriminator(nn.Module):
             (8 * bc, 5, 1, 1, 2),
         ]
         for i, (ch, k, s, grp, pad) in enumerate(layer_specs):
-            x = ConvWN1DPadded(ch, k, s, grp, pad, name=f"conv_{i}")(x)
+            x = conv_cls(ch, k, s, grp, pad, name=f"conv_{i}")(x, **kw)
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = ConvWN1DPadded(1, 3, 1, 1, 1, name="conv_post")(x)
+        x = conv_cls(1, 3, 1, 1, 1, name="conv_post")(x, **kw)
         fmap.append(x)
         return x.reshape(B, -1), fmap
 
@@ -409,6 +417,56 @@ class ConvWN1DPadded(nn.Module):
         return y + bias
 
 
+class ConvSN1DPadded(nn.Module):
+    """Spectrally normalized 1D conv: kernel scaled by 1/sigma_max, with
+    sigma_max estimated by one power-iteration step per training forward
+    (u persisted in the 'spectral' variable collection — torch
+    spectral_norm semantics, u/v treated as constants in the gradient)."""
+
+    features: int
+    kernel_size: int
+    strides: int
+    groups: int
+    pad: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_stats: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        k_shape = (self.kernel_size, in_ch // self.groups, self.features)
+        kernel = self.param("kernel", nn.initializers.normal(0.01), k_shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        # torch flattens with the output dim first: W [O, k * I/g]
+        W = kernel.reshape(-1, self.features).T
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: jax.random.normal(
+                jax.random.PRNGKey(0), (self.features,)
+            ),
+        )
+        u = jax.lax.stop_gradient(u_var.value)
+
+        def normalize(v):
+            return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+        v = normalize(jax.lax.stop_gradient(W).T @ u)
+        u_new = normalize(jax.lax.stop_gradient(W) @ v)
+        if update_stats and not self.is_initializing():
+            u_var.value = u_new
+        sigma = u_new @ (W @ v)  # grad flows through W only
+        kernel_sn = kernel / sigma
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel_sn,
+            window_strides=(self.strides,),
+            padding=((self.pad, self.pad),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        return y + bias
+
+
 def _avg_pool_1d(x: jax.Array, window: int = 4, stride: int = 2, pad: int = 2):
     """AvgPool1d(kernel=4, stride=2, padding=2) on [B, T, C], count
     includes padding (torch's count_include_pad=True default)."""
@@ -424,22 +482,25 @@ def _avg_pool_1d(x: jax.Array, window: int = 4, stride: int = 2, pad: int = 2):
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """Scale discriminators at x1, x2-pooled, x4-pooled... resolutions."""
+    """Scale discriminators at x1, x2-pooled, x4-pooled... resolutions.
+    The first (unpooled) scale uses spectral norm, like upstream."""
 
     num_scales: int = 3
     base_channels: int = 128
 
     @nn.compact
-    def __call__(self, y: jax.Array, y_hat: jax.Array):
+    def __call__(self, y: jax.Array, y_hat: jax.Array, update_stats: bool = False):
         real_outs, gen_outs, real_fmaps, gen_fmaps = [], [], [], []
         for i in range(self.num_scales):
             if i != 0:
                 y = _avg_pool_1d(y)
                 y_hat = _avg_pool_1d(y_hat)
             d = ScaleDiscriminator(
-                base_channels=self.base_channels, name=f"disc_s{i}"
+                base_channels=self.base_channels,
+                use_spectral_norm=(i == 0),
+                name=f"disc_s{i}",
             )
-            out_r, fmap_r = d(y)
+            out_r, fmap_r = d(y, update_stats=update_stats)
             out_g, fmap_g = d(y_hat)
             real_outs.append(out_r)
             gen_outs.append(out_g)

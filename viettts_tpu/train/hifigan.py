@@ -60,7 +60,8 @@ FM_LOSS_WEIGHT = 1.0  # feature_matching_loss already multiplies by 2
 class GanState(NamedTuple):
     step: jax.Array
     gen_params: dict
-    disc_params: dict  # {"mpd": ..., "msd": ...}
+    disc_params: dict  # {"mpd": ..., "msd": ...} (trainable params only)
+    spectral: dict  # MSD spectral-norm power-iteration state (u vectors)
     gen_opt: dict
     disc_opt: dict
     rng: jax.Array
@@ -150,18 +151,24 @@ def make_gan_step(
 ):
     """One jitted GAN update: discriminator step, then generator step."""
 
-    def disc_loss_fn(disc_params, y, y_hat):
-        p_r, p_g, _, _ = mpd.apply(disc_params["mpd"], y, y_hat)
-        s_r, s_g, _, _ = msd.apply(disc_params["msd"], y, y_hat)
-        return discriminator_loss(p_r, p_g) + discriminator_loss(s_r, s_g)
+    def disc_loss_fn(disc_params, spectral, y, y_hat):
+        p_r, p_g, _, _ = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
+        (s_r, s_g, _, _), updates = msd.apply(
+            {"params": disc_params["msd"], "spectral": spectral},
+            y, y_hat, update_stats=True, mutable=["spectral"],
+        )
+        loss = discriminator_loss(p_r, p_g) + discriminator_loss(s_r, s_g)
+        return loss, updates["spectral"]
 
-    def gen_loss_fn(gen_params, disc_params, mel_in, y, mel_target):
+    def gen_loss_fn(gen_params, disc_params, spectral, mel_in, y, mel_target):
         y_hat = generator.apply({"params": gen_params}, mel_in)
         mel_hat = mel_fn(y_hat[..., 0])
         mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_target))
 
-        p_r, p_g, p_fr, p_fg = mpd.apply(disc_params["mpd"], y, y_hat)
-        s_r, s_g, s_fr, s_fg = msd.apply(disc_params["msd"], y, y_hat)
+        p_r, p_g, p_fr, p_fg = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
+        s_r, s_g, s_fr, s_fg = msd.apply(
+            {"params": disc_params["msd"], "spectral": spectral}, y, y_hat
+        )
         adv = generator_adversarial_loss(p_g) + generator_adversarial_loss(s_g)
         fm = feature_matching_loss(p_fr, p_fg) + feature_matching_loss(
             s_fr, s_fg
@@ -178,9 +185,9 @@ def make_gan_step(
         # --- discriminator step (generator frozen) ---
         y_hat = generator.apply({"params": state.gen_params}, cond)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
-        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
-            state.disc_params, y, y_hat_sg
-        )
+        (d_loss, spectral), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.disc_params, state.spectral, y, y_hat_sg)
         d_updates, disc_opt = disc_tx.update(
             d_grads, state.disc_opt, state.disc_params
         )
@@ -189,7 +196,7 @@ def make_gan_step(
         # --- generator step (new discriminator, frozen) ---
         (g_loss, (mel_l1, adv, fm)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
-        )(state.gen_params, disc_params, cond, y, mel_target)
+        )(state.gen_params, disc_params, spectral, cond, y, mel_target)
         g_updates, gen_opt = gen_tx.update(
             g_grads, state.gen_opt, state.gen_params
         )
@@ -199,6 +206,7 @@ def make_gan_step(
             step=state.step + 1,
             gen_params=gen_params,
             disc_params=disc_params,
+            spectral=spectral,
             gen_opt=gen_opt,
             disc_opt=disc_opt,
             rng=state.rng,
@@ -225,6 +233,7 @@ def save_vocoder_ckpt(path: Path, state: GanState) -> None:
             "raw": {
                 "gen_params": state.gen_params,
                 "disc_params": state.disc_params,
+                "spectral": state.spectral,
                 "gen_opt": state.gen_opt,
                 "disc_opt": state.disc_opt,
             },
@@ -273,14 +282,17 @@ def train(
     k1, k2, k3 = jax.random.split(rng, 3)
     gen_params = generator.init(k1, jnp.asarray(cond0))["params"]
     y0 = jnp.asarray(audio0)[..., None]
+    msd_vars = msd.init(k3, y0, y0)
     disc_params = {
-        "mpd": mpd.init(k2, y0, y0),
-        "msd": msd.init(k3, y0, y0),
+        "mpd": mpd.init(k2, y0, y0)["params"],
+        "msd": msd_vars["params"],
     }
+    spectral = msd_vars.get("spectral", {})
     state = GanState(
         step=jnp.asarray(0, jnp.int32),
         gen_params=gen_params,
         disc_params=disc_params,
+        spectral=spectral,
         gen_opt=gen_tx.init(gen_params),
         disc_opt=disc_tx.init(disc_params),
         rng=rng,
@@ -294,6 +306,9 @@ def train(
             step=jnp.asarray(dic["step"], jnp.int32),
             gen_params=jax.tree.map(jnp.asarray, dic["raw"]["gen_params"]),
             disc_params=jax.tree.map(jnp.asarray, dic["raw"]["disc_params"]),
+            spectral=jax.tree.map(
+                jnp.asarray, dic["raw"].get("spectral", {})
+            ),
             gen_opt=jax.tree.map(jnp.asarray, dic["raw"]["gen_opt"]),
             disc_opt=jax.tree.map(jnp.asarray, dic["raw"]["disc_opt"]),
             rng=rng,
