@@ -191,3 +191,51 @@ def test_batch_actually_sharded(corpus):
     sharded = shard_batch(batch, mesh)
     # 8-element batch over 8 devices -> one row per device
     assert len(sharded.phonemes.sharding.device_set) == 8
+
+
+def test_duration_trainer_mixed_precision(corpus, tmp_path):
+    """Opt-in bf16 compute: loss stays finite and decreases; master params
+    remain f32."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from viettts_tpu.data.loader import DurationDataset
+    from viettts_tpu.models import DurationModel
+    from viettts_tpu.train import duration as dtrain
+    from viettts_tpu.train.common import (
+        init_train_state,
+        make_optimizer,
+        make_update_fn,
+        mixed_precision_loss,
+        stack_steps,
+    )
+
+    cfg = _tiny_config(corpus, tmp_path)
+    model = DurationModel(cfg.duration)
+    ds = DurationDataset(corpus, 16, "train")
+    it = ds.batches(8, seed=0)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, next(it), train=True)
+    opt = make_optimizer(1e-2)
+    state = init_train_state(
+        variables["params"], variables["batch_stats"], opt, rng
+    )
+    update = make_update_fn(
+        mixed_precision_loss(
+            dtrain.make_loss_fn(model, token_mask_prob=0.0, train=True)
+        ),
+        opt,
+    )
+    losses = []
+    for _ in range(10):
+        state, loss = update(state, stack_steps([next(it)]))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # master params stayed f32
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.params)
+    )

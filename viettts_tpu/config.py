@@ -207,6 +207,9 @@ class TrainConfig:
     # ZeRO/FSDP-style parameter+optimizer sharding across the data axis
     # (large leaves split, XLA inserts all-gathers/reduce-scatters).
     fsdp: bool = False
+    # Opt-in bf16 mixed precision: f32 master params, forward/backward
+    # compute in bfloat16 (params cast at the loss boundary).
+    mixed_precision: bool = False
 
 
 @dataclass(frozen=True)

@@ -40,6 +40,7 @@ from viettts_tpu.train.common import (
     init_train_state,
     make_optimizer,
     make_update_fn,
+    mixed_precision_loss,
     stack_steps,
 )
 from viettts_tpu.train.duration import restore_state, save_native_ckpt
@@ -151,9 +152,10 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     else:
         state = replicate(state, mesh)
 
-    update = make_update_fn(
-        make_loss_fn(model, mel_fn, hop, train=True), optimizer
-    )
+    train_loss = make_loss_fn(model, mel_fn, hop, train=True)
+    if tcfg.mixed_precision:
+        train_loss = mixed_precision_loss(train_loss)
+    update = make_update_fn(train_loss, optimizer)
     val_fn = jax.jit(
         partial(
             make_loss_fn(model, mel_fn, hop, train=False, with_outputs=True)

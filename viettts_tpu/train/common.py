@@ -50,6 +50,37 @@ LossFn = Callable[..., Tuple[jax.Array, Any]]
 # loss_fn(params, batch_stats, rng, batch) -> (loss, new_batch_stats)
 
 
+def mixed_precision_loss(loss_fn: LossFn) -> LossFn:
+    """bf16 mixed precision via param casting at the loss boundary:
+    master params stay f32 (the optimizer sees f32 grads — the cast is
+    differentiable and accumulates in f32); the forward/backward compute
+    runs in bfloat16.  Updated batch stats are cast back to f32."""
+
+    def wrapped(params, batch_stats, rng, batch):
+        params_c = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
+        stats_c = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            batch_stats,
+        )
+        loss, new_stats = loss_fn(params_c, stats_c, rng, batch)
+        new_stats = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+            else x,
+            new_stats,
+        )
+        return loss.astype(jnp.float32), new_stats
+
+    return wrapped
+
+
 def make_update_fn(
     loss_fn: LossFn, optimizer: optax.GradientTransformation
 ) -> Callable[[TrainState, Any], Tuple[TrainState, jax.Array]]:

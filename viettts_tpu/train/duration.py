@@ -39,6 +39,7 @@ from viettts_tpu.train.common import (
     init_train_state,
     make_optimizer,
     make_update_fn,
+    mixed_precision_loss,
     stack_steps,
 )
 from viettts_tpu.types import DurationBatch
@@ -167,9 +168,10 @@ def train(
     else:
         state = replicate(state, mesh)
 
-    update = make_update_fn(
-        make_loss_fn(model, tcfg.token_mask_prob, train=True), optimizer
-    )
+    train_loss = make_loss_fn(model, tcfg.token_mask_prob, train=True)
+    if tcfg.mixed_precision:
+        train_loss = mixed_precision_loss(train_loss)
+    update = make_update_fn(train_loss, optimizer)
     val_loss_fn = jax.jit(
         lambda p, s, r, b: make_loss_fn(model, 0.0, train=False)(p, s, r, b)[0]
     )
