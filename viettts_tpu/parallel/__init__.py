@@ -4,6 +4,7 @@ from viettts_tpu.parallel.mesh import (
     make_mesh,
     replicate,
     replicated_sharding,
+    mesh_for_batch,
     shard_batch,
     shard_params_fsdp,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "initialize_distributed",
     "batch_sharding",
     "replicated_sharding",
+    "mesh_for_batch",
     "shard_batch",
     "replicate",
     "shard_params_fsdp",

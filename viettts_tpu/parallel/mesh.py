@@ -67,6 +67,23 @@ def make_mesh(
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def mesh_for_batch(batch_size: int, num_devices: int = -1) -> Mesh:
+    """Data-parallel mesh whose size divides ``batch_size`` — the largest
+    such device count.  Trainers use this so a small debug batch on a big
+    mesh shrinks the mesh (loudly) instead of silently replicating work."""
+    devices = jax.devices()
+    n = len(devices) if num_devices == -1 else num_devices
+    full = n
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n != full:
+        print(
+            f"mesh_for_batch: batch {batch_size} not divisible by "
+            f"{full} devices; using a {n}-device mesh"
+        )
+    return make_mesh(n)
+
+
 def batch_sharding(
     mesh: Mesh, batch_axis: int = 0, ndim: Optional[int] = None
 ) -> NamedSharding:
@@ -83,15 +100,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+def shard_batch(
+    batch: Any,
+    mesh: Mesh,
+    batch_axis: int = 0,
+    on_indivisible: str = "error",
+) -> Any:
     """Place a host batch on the mesh, batch axis split across ``data``.
 
-    Scalars / arrays without the batch axis are replicated.
+    Scalars / arrays without the batch axis are replicated.  An array that
+    *has* the batch axis but whose size is not divisible by the mesh raises
+    by default — silently replicating it would be an invisible
+    ``num_devices``-times throughput loss (and would train on each example
+    ``num_devices`` times per step).  Pad the batch (or drop the remainder)
+    at the data-loader level instead; or pass
+    ``on_indivisible="replicate"`` where replication is the intended
+    semantics (small validation batches evaluated identically everywhere).
     """
+    if on_indivisible not in ("error", "replicate"):
+        raise ValueError(f"on_indivisible={on_indivisible!r}")
+    n = mesh.shape["data"]
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim > batch_axis and x.shape[batch_axis] % mesh.shape["data"] == 0:
+        if x.ndim > batch_axis:
+            if x.shape[batch_axis] % n != 0:
+                if on_indivisible == "error":
+                    raise ValueError(
+                        f"batch axis {batch_axis} of shape {x.shape} is not "
+                        f"divisible by the data-parallel mesh size {n}; pad "
+                        "or drop the remainder before shard_batch(), or "
+                        'pass on_indivisible="replicate" for eval batches'
+                    )
+                return jax.device_put(x, replicated_sharding(mesh))
             return jax.device_put(
                 x, batch_sharding(mesh, batch_axis, x.ndim)
             )
