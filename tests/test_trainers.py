@@ -239,3 +239,26 @@ def test_duration_trainer_mixed_precision(corpus, tmp_path):
         leaf.dtype == jnp.float32
         for leaf in jax.tree.leaves(state.params)
     )
+
+
+def test_duration_trainer_orbax_checkpoint_resume(corpus, tmp_path):
+    """checkpoint_format=orbax writes a tensorstore dir and resumes."""
+    import dataclasses
+
+    from viettts_tpu.train import duration as dtrain
+
+    cfg = _tiny_config(corpus, tmp_path, steps=2)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, checkpoint_format="orbax")
+    )
+    state = dtrain.train(cfg)
+    assert int(state.step) == 2
+    assert (tmp_path / "duration_latest_ckpt.orbax").exists()
+    assert not (tmp_path / "duration_latest_ckpt.pickle").exists()
+
+    cfg2 = _tiny_config(corpus, tmp_path, steps=4)
+    cfg2 = cfg2.replace(
+        train=dataclasses.replace(cfg2.train, checkpoint_format="orbax")
+    )
+    state2 = dtrain.train(cfg2)
+    assert int(state2.step) == 4

@@ -210,6 +210,10 @@ class TrainConfig:
     # Opt-in bf16 mixed precision: f32 master params, forward/backward
     # compute in bfloat16 (params cast at the loss boundary).
     mixed_precision: bool = False
+    # Training-checkpoint backend: "pickle" (single atomic file, the
+    # reference's contract) or "orbax" (sharded tensorstore directory, for
+    # multi-host runs where one pickle is impractical).
+    checkpoint_format: str = "pickle"
 
 
 @dataclass(frozen=True)

@@ -29,6 +29,7 @@ from viettts_tpu.models import AcousticModel
 from viettts_tpu.ops.mel import LogMelSpectrogram
 from viettts_tpu.parallel.mesh import (
     make_mesh,
+    mesh_for_batch,
     replicate,
     shard_batch,
     shard_params_fsdp,
@@ -101,7 +102,7 @@ def make_loss_fn(model: AcousticModel, mel_fn: LogMelSpectrogram, hop: int,
 def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     tcfg = cfg.train
     hop = cfg.dsp.hop_length
-    mesh = make_mesh(tcfg.num_devices)
+    mesh = mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
     model = AcousticModel(cfg.acoustic)
     mel_fn = LogMelSpectrogram(cfg.dsp)
 
@@ -143,7 +144,7 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     )
 
     ckpt_path = Path(cfg.ckpt_dir) / "acoustic_latest_ckpt.pickle"
-    restored = restore_state(ckpt_path, optimizer, state)
+    restored = restore_state(ckpt_path, optimizer, state, tcfg.checkpoint_format)
     if restored is not None:
         print(f"Resuming from {ckpt_path} at step {int(restored.step)}")
         state = restored
@@ -181,7 +182,7 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
             step = start + steps_done
 
             if step % tcfg.val_interval < spu:
-                vb = shard_batch(next(val_iter), mesh)
+                vb = shard_batch(next(val_iter), mesh, on_indivisible="replicate")
                 vloss, (_, extra) = val_fn(
                     state.params, state.batch_stats, state.rng, vb
                 )
@@ -195,12 +196,12 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
                     f"step {step:>7d} | train {train_avg.mean():.4f} | "
                     f"val {val_avg.mean():.4f} | {sps:.2f} steps/s"
                 )
-                save_native_ckpt(ckpt_path, state)
+                save_native_ckpt(ckpt_path, state, tcfg.checkpoint_format)
                 if save_plots and val_snapshot is not None:
                     _save_triptych(
                         Path(cfg.ckpt_dir) / f"mel_{step:06d}.png", val_snapshot
                     )
-    save_native_ckpt(ckpt_path, state)
+    save_native_ckpt(ckpt_path, state, tcfg.checkpoint_format)
     return state
 
 

@@ -24,6 +24,7 @@ from viettts_tpu.data.loader import DurationDataset
 from viettts_tpu.models import DurationModel
 from viettts_tpu.parallel.mesh import (
     make_mesh,
+    mesh_for_batch,
     replicate,
     shard_batch,
     shard_params_fsdp,
@@ -82,7 +83,34 @@ def make_loss_fn(model: DurationModel, token_mask_prob: float, train: bool):
     return loss_fn
 
 
-def save_native_ckpt(path: Path, state: TrainState) -> None:
+def _orbax_dir(path: Path) -> Path:
+    return Path(path).with_suffix(".orbax")
+
+
+def save_native_ckpt(
+    path: Path, state: TrainState, fmt: str = "pickle"
+) -> None:
+    """Write a resumable training checkpoint: ``fmt="pickle"`` is one
+    atomic file (the reference's contract); ``fmt="orbax"`` writes a
+    sharded tensorstore directory next to it (multi-host runs)."""
+    if fmt == "orbax":
+        from viettts_tpu.train.checkpoint import save_checkpoint_orbax
+
+        save_checkpoint_orbax(
+            _orbax_dir(path),
+            {
+                "step": np.asarray(int(state.step), np.int32),
+                "variables": {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                },
+                "opt_state": state.opt_state,
+                "rng": state.rng,
+            },
+        )
+        return
+    if fmt != "pickle":
+        raise ValueError(f"unknown checkpoint_format {fmt!r}")
     save_checkpoint(
         path,
         {
@@ -98,7 +126,31 @@ def save_native_ckpt(path: Path, state: TrainState) -> None:
     )
 
 
-def restore_state(path: Path, optimizer, template: TrainState) -> Optional[TrainState]:
+def restore_state(
+    path: Path, optimizer, template: TrainState, fmt: str = "pickle"
+) -> Optional[TrainState]:
+    if fmt == "orbax":
+        from viettts_tpu.train.checkpoint import load_checkpoint_orbax
+
+        tpl = {
+            "step": np.asarray(0, np.int32),
+            "variables": {
+                "params": template.params,
+                "batch_stats": template.batch_stats,
+            },
+            "opt_state": template.opt_state,
+            "rng": template.rng,
+        }
+        dic = load_checkpoint_orbax(_orbax_dir(path), tpl)
+        if dic is None:
+            return None
+        return TrainState(
+            step=jnp.asarray(dic["step"], jnp.int32),
+            params=dic["variables"]["params"],
+            batch_stats=dic["variables"]["batch_stats"],
+            opt_state=dic["opt_state"],
+            rng=jnp.asarray(dic["rng"]),
+        )
     dic = load_checkpoint(path)
     if dic is None or dic.get("format") != NATIVE_FORMAT:
         return None
@@ -134,7 +186,7 @@ def train(
     cfg: Config = Config(), save_plots: bool = False
 ) -> TrainState:
     tcfg = cfg.train
-    mesh = make_mesh(tcfg.num_devices)
+    mesh = mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
     model = DurationModel(cfg.duration)
     optimizer = make_optimizer(
         tcfg.duration_learning_rate, tcfg.max_grad_norm, tcfg.weight_decay
@@ -159,7 +211,7 @@ def train(
     )
 
     ckpt_path = Path(cfg.ckpt_dir) / "duration_latest_ckpt.pickle"
-    restored = restore_state(ckpt_path, optimizer, state)
+    restored = restore_state(ckpt_path, optimizer, state, tcfg.checkpoint_format)
     if restored is not None:
         print(f"Resuming from {ckpt_path} at step {int(restored.step)}")
         state = restored
@@ -195,7 +247,7 @@ def train(
             step = start + steps_done
 
             if step % tcfg.val_interval < spu:
-                vb = shard_batch(next(val_iter), mesh)
+                vb = shard_batch(next(val_iter), mesh, on_indivisible="replicate")
                 val_avg.add(val_loss_fn(state.params, state.batch_stats, state.rng, vb))
 
             if step % tcfg.ckpt_interval < spu:
@@ -205,7 +257,7 @@ def train(
                     f"step {step:>7d} | train {train_avg.mean():.5f} | "
                     f"val {val_avg.mean():.5f} | {sps:.1f} steps/s"
                 )
-                save_native_ckpt(ckpt_path, state)
+                save_native_ckpt(ckpt_path, state, tcfg.checkpoint_format)
                 if save_plots:
                     vb = next(val_iter)
                     pred = predict_fn(
@@ -221,7 +273,7 @@ def train(
                         vb.durations[0],
                         int(vb.lengths[0]),
                     )
-    save_native_ckpt(ckpt_path, state)
+    save_native_ckpt(ckpt_path, state, tcfg.checkpoint_format)
     return state
 
 
