@@ -191,3 +191,93 @@ def test_cli_save_mel(tiny_cfg, ckpt_dir, tmp_path):
 
     mel = np.load(mel_path.with_suffix(".npy"))
     assert mel.ndim == 2 and mel.shape[1] == 80
+
+
+# ---------------------------------------------------------------------------
+# Chunked long-form synthesis + infer API caching (round 2).
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_token_rows_unit():
+    from viettts_tpu.config import SIL_INDEX, WORD_END_INDEX
+    from viettts_tpu.infer.pipeline import _chunk_token_rows
+
+    toks = [SIL_INDEX]
+    for w in range(20):
+        toks += [10 + w % 5, 11, WORD_END_INDEX]
+        if w % 4 == 3:
+            toks.append(SIL_INDEX)
+    toks.append(SIL_INDEX)
+    rows = _chunk_token_rows(toks, 30)
+    assert len(rows) > 1
+    assert all(len(r) <= 30 for r in rows)
+    assert all(r[0] == SIL_INDEX and r[-1] == SIL_INDEX for r in rows)
+    # sil-boundary splits share the sil -> lossless reconstruction
+    rebuilt = list(rows[0])
+    for r in rows[1:]:
+        assert rebuilt[-1] == r[0] == SIL_INDEX
+        rebuilt += r[1:]
+    assert rebuilt == toks
+    # short inputs pass through untouched
+    assert _chunk_token_rows(toks, 1000) == [toks]
+    # no interior sil: falls back to word-end cuts with inserted sils
+    toks2 = [SIL_INDEX] + [5, 6, WORD_END_INDEX] * 20 + [SIL_INDEX]
+    rows2 = _chunk_token_rows(toks2, 16)
+    assert len(rows2) > 1
+    assert all(len(r) <= 16 for r in rows2)
+    assert all(r[0] == SIL_INDEX and r[-1] == SIL_INDEX for r in rows2)
+
+
+def test_long_form_chunked_synthesis(tiny_cfg, ckpt_dir):
+    """A paragraph beyond the training token cap synthesizes via chunking
+    with a consistent wave/mel/durations result."""
+    from viettts_tpu.config import DataConfig
+    from viettts_tpu.infer.pipeline import Synthesizer
+
+    cfg = tiny_cfg.replace(
+        ckpt_dir=ckpt_dir, data=DataConfig(max_phoneme_seq_len=24)
+    )
+    synth = Synthesizer(cfg)
+    text = " . ".join(["một hai ba bốn"] * 6)
+    toks = synth.text_to_token_ids(text)
+    assert len(toks) > 24  # genuinely long-form for this cap
+    r = synth.synthesize(text)
+    assert len(r.wave) == r.mel.shape[0] * 256
+    assert r.mel.shape[0] > 0 and np.all(np.isfinite(r.wave))
+    # durations cover at least every real (non-shared) token once
+    assert r.durations.shape[0] >= len(toks)
+
+
+def test_get_synthesizer_cached(tiny_cfg, ckpt_dir):
+    from viettts_tpu import infer
+
+    infer.clear_synthesizer_cache()
+    cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
+    s1 = infer.get_synthesizer(cfg=cfg)
+    assert infer.get_synthesizer(cfg=cfg) is s1  # no rebuild / re-jit
+    s2 = infer.get_synthesizer(cfg=cfg, prenet_seed=7)
+    assert s2 is not s1
+    assert infer.get_synthesizer(cfg=cfg, prenet_seed=7) is s2
+    infer.clear_synthesizer_cache()
+
+
+def test_public_vocode(synth):
+    mel = np.zeros((2, 16, 80), np.float32)
+    wav = synth.vocode(mel)
+    assert wav.shape == (2, 16 * 256)
+    assert np.all(np.isfinite(wav))
+
+
+def test_decode_mel_sub_batch_split(synth):
+    """Batches beyond the fused-decode VMEM gate run as fused sub-batches
+    (scripts/bench_ar.py: ~2x over one big scan)."""
+    old = synth._fused_decode_max_batch
+    try:
+        synth._fused_decode_max_batch = 1
+        res = synth.synthesize_batch(["một hai", "ba bốn nam"])
+    finally:
+        synth._fused_decode_max_batch = old
+    assert len(res) == 2
+    for r in res:
+        assert len(r.wave) == r.mel.shape[0] * 256
+        assert np.all(np.isfinite(r.wave))

@@ -3,25 +3,38 @@
 ``Synthesizer`` is the primary interface (cached models, bucketed shapes,
 batch mode).  ``text2mel`` / ``mel2wave`` mirror the reference's
 free-function API (text2mel.py:85, mel2wave.py:20) on top of a lazily
-constructed global Synthesizer.
+constructed global Synthesizer, cached per constructor-kwargs so repeated
+calls (with or without a lexicon) never re-jit.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 from viettts_tpu.infer.pipeline import SynthesisResult, Synthesizer
 
-_GLOBAL: Optional[Synthesizer] = None
+_CACHE: Dict[Tuple, Synthesizer] = {}
+
+
+def _cache_key(kwargs: dict) -> Tuple:
+    return tuple(sorted((k, str(v)) for k, v in kwargs.items()))
 
 
 def get_synthesizer(**kwargs) -> Synthesizer:
-    global _GLOBAL
-    if _GLOBAL is None or kwargs:
-        _GLOBAL = Synthesizer(**kwargs)
-    return _GLOBAL
+    """Return a (cached) Synthesizer.  Calls with the same kwargs reuse the
+    same instance — including its compiled programs.  The no-kwargs default
+    instance is created on first use and shared thereafter."""
+    key = _cache_key(kwargs)
+    synth = _CACHE.get(key)
+    if synth is None:
+        synth = _CACHE[key] = Synthesizer(**kwargs)
+    return synth
+
+
+def clear_synthesizer_cache() -> None:
+    _CACHE.clear()
 
 
 def text2mel(
@@ -38,20 +51,18 @@ def text2mel(
 
 def mel2wave(mel: np.ndarray) -> np.ndarray:
     """Log-mel [T, mel_dim] or [1, T, mel_dim] -> waveform [S] float32."""
-    import jax.numpy as jnp
-
     synth = get_synthesizer()
     mel = np.asarray(mel)
     if mel.ndim == 2:
         mel = mel[None]
-    wav = synth._vocode(synth._hifigan_vars, jnp.asarray(mel))
-    return np.asarray(wav[0, :, 0])
+    return synth.vocode(mel)[0]
 
 
 __all__ = [
     "Synthesizer",
     "SynthesisResult",
     "get_synthesizer",
+    "clear_synthesizer_cache",
     "text2mel",
     "mel2wave",
 ]

@@ -55,6 +55,40 @@ def _bucket_frames(n: int, bucket: int = FRAME_BUCKET) -> int:
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
+def _chunk_token_rows(tokens: List[int], max_tokens: int) -> List[List[int]]:
+    """Split a token sequence into chunks of at most ``max_tokens``,
+    preferring silence boundaries, then word-end boundaries.
+
+    Every chunk starts and ends with ``sil`` — the layout the acoustic
+    model is trained on.  When splitting at a sil it is shared: the chunk
+    ends with it and the remainder starts with it; since each row's
+    trailing-silence audio is trimmed, the pause at a junction comes from
+    the next chunk's leading sil exactly once.
+    """
+    chunks: List[List[int]] = []
+    rest = list(tokens)
+    while len(rest) > max_tokens:
+        cut = None
+        for i in range(max_tokens - 1, 0, -1):
+            if rest[i] == SIL_INDEX:
+                cut = i
+                break
+        if cut is not None:
+            chunks.append(rest[: cut + 1])
+            rest = rest[cut:]  # shared sil leads the remainder
+            continue
+        for i in range(max_tokens - 2, 0, -1):
+            if rest[i] == WORD_END_INDEX:
+                cut = i
+                break
+        if cut is None:  # pathological: no boundary at all — hard cut
+            cut = max_tokens - 2
+        chunks.append(rest[: cut + 1] + [SIL_INDEX])
+        rest = [SIL_INDEX] + rest[cut + 1 :]
+    chunks.append(rest)
+    return chunks
+
+
 @dataclasses.dataclass
 class SynthesisResult:
     wave: np.ndarray  # [S] float32 in [-1, 1]
@@ -130,7 +164,24 @@ class Synthesizer:
             ),
             static_argnums=(3,),
         )
-        self._fused_decode_max_batch = 4 if cfg.acoustic.fused_decode else 0
+        # Fused-decode batch gate, derived from the kernel's VMEM model:
+        # usable whenever a feasible gate-stream chunk exists (measured on
+        # v5e: fused wins 3.2x at B=1 and ~1.7x at B=8; the scan path's
+        # batched matmuls take over where no chunk fits, scripts/bench_ar.py).
+        if cfg.acoustic.fused_decode:
+            from viettts_tpu.ops.ar_decoder import pick_chunk
+
+            acfg = cfg.acoustic
+            self._fused_decode_max_batch = 0
+            b = 1
+            while b <= 64 and pick_chunk(
+                b, acfg.decoder_dim, acfg.prenet_dim, acfg.mel_dim,
+                FRAME_BUCKET,
+            ) is not None:
+                self._fused_decode_max_batch = b
+                b *= 2
+        else:
+            self._fused_decode_max_batch = 0
 
         if cfg.hifigan.fused_inference:
             from viettts_tpu.models.hifigan import generator_apply_fused
@@ -146,10 +197,28 @@ class Synthesizer:
             self._vocode = jax.jit(self._generator.apply)
 
     def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
-        if toks.shape[0] <= self._fused_decode_max_batch:
+        B = toks.shape[0]
+        mb = self._fused_decode_max_batch
+        if mb and B <= mb:
             return self._decode_mel_fused(
                 variables, toks, frames, n_frames, lengths, rngs=rngs
             )
+        if mb and B % mb == 0:
+            # Larger batches run as sub-batches of the fused kernel — still
+            # ~2x faster than one big scan decode (scripts/bench_ar.py:
+            # fused B=32 5.8 ms vs scan B=64 25.5 ms per 1024 frames).
+            mels = [
+                self._decode_mel_fused(
+                    variables,
+                    toks[i : i + mb],
+                    frames[i : i + mb],
+                    n_frames,
+                    lengths[i : i + mb],
+                    rngs=rngs,
+                )
+                for i in range(0, B, mb)
+            ]
+            return jnp.concatenate(mels, axis=0)
         return self._decode_mel_scan(
             variables, toks, frames, n_frames, lengths, rngs=rngs
         )
@@ -182,6 +251,14 @@ class Synthesizer:
 
     def text_to_token_ids(self, text: str) -> List[int]:
         return text_to_tokens(normalize_text(text), self.lexicon)
+
+    def vocode(self, mel) -> np.ndarray:
+        """Log-mel [B, T, mel_dim] -> waveform [B, T*hop] float32 (the
+        public mel->wave surface; reference mel2wave.py:20-41)."""
+        mel = jnp.asarray(mel)
+        assert mel.ndim == 3, "expected [B, T, mel_dim]"
+        wav = self._vocode(self._hifigan_vars, mel)
+        return np.asarray(wav[..., 0])
 
     def _durations_for(
         self, token_rows: List[List[int]], silence_duration: float
@@ -219,14 +296,35 @@ class Synthesizer:
     def synthesize(
         self, text: str, silence_duration: float = -1.0
     ) -> SynthesisResult:
-        return self.synthesize_batch([text], silence_duration)[0]
+        """Synthesize one text.  Inputs longer than the acoustic model's
+        training cap (cfg.data.max_phoneme_seq_len) are split at silence
+        boundaries into chunks, synthesized as one padded batch, and
+        concatenated — the reference feeds arbitrarily long sequences
+        through whole (synthesizer.py:25-30 only maps punctuation to sil),
+        which the model was never trained for."""
+        tokens = self.text_to_token_ids(text)
+        max_tokens = self.cfg.data.max_phoneme_seq_len
+        if len(tokens) <= max_tokens:
+            return self._synthesize_rows([tokens], silence_duration)[0]
+        rows = _chunk_token_rows(tokens, max_tokens)
+        parts = self._synthesize_rows(rows, silence_duration)
+        return SynthesisResult(
+            wave=np.concatenate([p.wave for p in parts]),
+            mel=np.concatenate([p.mel for p in parts], axis=0),
+            durations=np.concatenate([p.durations for p in parts]),
+        )
 
     def synthesize_batch(
         self, texts: Sequence[str], silence_duration: float = -1.0
     ) -> List[SynthesisResult]:
         """Synthesize a batch of texts in one padded device program."""
-        cfg = self.cfg
         token_rows = [self.text_to_token_ids(t) for t in texts]
+        return self._synthesize_rows(token_rows, silence_duration)
+
+    def _synthesize_rows(
+        self, token_rows: List[List[int]], silence_duration: float = -1.0
+    ) -> List[SynthesisResult]:
+        cfg = self.cfg
         toks, lengths, dur_s = self._durations_for(token_rows, silence_duration)
 
         frames_per_sec = cfg.dsp.sample_rate / cfg.dsp.hop_length
