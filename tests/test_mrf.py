@@ -81,3 +81,128 @@ def test_fused_generator_matches_flax():
     ref = gen.apply(variables, mel)
     got = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "B,L_in,C_in,C,u,k",
+    [
+        (1, 64, 256, 128, 8, 16),  # stage 1 shape family (F=8)
+        (1, 256, 128, 64, 2, 4),   # stage 2 (F=1)
+        (2, 512, 64, 32, 2, 4),    # stage 3 (F=1, g_in=2)
+    ],
+)
+def test_fused_mrf_with_upsample_exact(B, L_in, C_in, C, u, k):
+    """leaky_relu + ConvTranspose(SAME) + MRF fused in one kernel matches
+    lax.conv_transpose + the XLA MRF formulation exactly."""
+    rng = np.random.RandomState(1)
+    kernel_sizes = (3, 7)
+    dilations = ((1, 3, 5), (1, 3, 5))
+    x = jnp.asarray(rng.randn(B, L_in, C_in).astype(np.float32))
+    w_t = jnp.asarray(rng.randn(k, C_in, C).astype(np.float32) * 0.05)
+    b_t = jnp.asarray(rng.randn(C).astype(np.float32) * 0.05)
+    weights = []
+    for kk in kernel_sizes:
+        weights.append(
+            (
+                jnp.asarray(rng.randn(3, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(3, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(3, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(3, C).astype(np.float32) * 0.05),
+            )
+        )
+
+    up = (
+        lax.conv_transpose(
+            jnp.where(x > 0, x, 0.1 * x), w_t, strides=(u,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        + b_t
+    )
+    ref = _ref_stack(up, weights, kernel_sizes, dilations)
+    got = fused_mrf(
+        x, weights, kernel_sizes, dilations,
+        upsample=(w_t, b_t, u), interpret=True,
+    )
+    assert got.shape == ref.shape == (B, L_in * u, C)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5 * max(scale, 1.0)
+    )
+
+
+def test_fused_generator_with_upsample_matches_flax():
+    """End-to-end fused generator (now with convT folded into the kernels)
+    still matches the flax Generator."""
+    cfg = HifiGanConfig(
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=256,  # stages: 128, 64, 32, 16ch
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3, 5),),
+    )
+    gen = Generator(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(2).randn(1, 8, 80).astype(np.float32)
+    )
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    ref = gen.apply(variables, mel)
+    got = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5
+    )
+
+
+def test_fused_mrf_with_post_epilogue_exact():
+    """MRF + fused generator tail (lrelu 0.01 -> conv_post -> tanh) matches
+    the XLA formulation."""
+    rng = np.random.RandomState(3)
+    B, L, C = 1, 512, 32
+    kernel_sizes = (3, 7)
+    dilations = ((1, 3, 5), (1, 3, 5))
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32))
+    weights = []
+    for kk in kernel_sizes:
+        weights.append(
+            (
+                jnp.asarray(rng.randn(3, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(3, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(3, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(3, C).astype(np.float32) * 0.05),
+            )
+        )
+    w_p = jnp.asarray(rng.randn(7, C, 1).astype(np.float32) * 0.1)
+    b_p = jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)
+
+    mid = _ref_stack(x, weights, kernel_sizes, dilations)
+    z = jax.nn.leaky_relu(mid)  # torch-default 0.01 slope
+    ref = jnp.tanh(
+        lax.conv_general_dilated(
+            z, w_p, (1,), ((3, 3),), dimension_numbers=("NWC", "WIO", "NWC")
+        )
+        + b_p
+    )
+    got = fused_mrf(
+        x, weights, kernel_sizes, dilations, post=(w_p, b_p), interpret=True
+    )
+    assert got.shape == (B, L, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_generator_batch_routing_matches_flax():
+    """At batch >= 8 the C=128 stage routes to XLA (measured faster there);
+    the output must stay identical to the flax Generator."""
+    cfg = HifiGanConfig(
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=256,  # stages: 128, 64 channels
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    gen = Generator(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(4).randn(8, 16, 80).astype(np.float32)
+    )
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    ref = gen.apply(variables, mel)
+    got = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -585,9 +585,48 @@ def generator_apply_fused(
             acc = r if acc is None else acc + r
         return acc / num_kernels
 
+    n_stages = len(cfg.upsample_rates)
+    batch = mel.shape[0]
     x = conv("conv_pre", mel, 7)
+    post_done = False
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        last = i == n_stages - 1
+        # Measured on v5e (scripts/profile_vocoder.py): at C=128 the fused
+        # kernel wins below batch 8 (2.4 vs 5.6 ms at B=1) but XLA wins at
+        # large batch (16.7 vs 17.7 ms at B=8); narrower stages always fuse.
+        use_fused = ch <= 128 and (128 % ch == 0) and (ch < 128 or batch < 8)
+        if use_fused:
+            weights = mrf_weights_from_params(params, i, num_kernels)
+            # On the last stage also fuse the generator tail
+            # (leaky_relu -> conv_post -> tanh) as a kernel epilogue.
+            post_w = (
+                (params["conv_post"]["kernel"], params["conv_post"]["bias"])
+                if last
+                else None
+            )
+            try:
+                # Preferred: the ConvTranspose upsample fused into the same
+                # kernel (the pre-MRF activation never touches HBM).
+                x = fused_mrf(
+                    x,
+                    weights,
+                    cfg.resblock_kernel_sizes,
+                    cfg.resblock_dilation_sizes,
+                    upsample=(
+                        params[f"ups_{i}"]["kernel"],
+                        params[f"ups_{i}"]["bias"],
+                        u,
+                    ),
+                    post=post_w,
+                    interpret=interpret,
+                )
+                post_done = last
+                continue
+            except ValueError:
+                # Shape/packing not supported (odd channel counts or tile
+                # divisibility) — fall back to XLA convT + fused MRF.
+                pass
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = (
             jax.lax.conv_transpose(
@@ -599,17 +638,36 @@ def generator_apply_fused(
             )
             + params[f"ups_{i}"]["bias"]
         )
-        if ch <= 128 and (128 % ch == 0):
+        if use_fused:
             weights = mrf_weights_from_params(params, i, num_kernels)
-            x = fused_mrf(
-                x,
-                weights,
-                cfg.resblock_kernel_sizes,
-                cfg.resblock_dilation_sizes,
-                interpret=interpret,
+            post_w = (
+                (params["conv_post"]["kernel"], params["conv_post"]["bias"])
+                if last
+                else None
             )
+            try:
+                x = fused_mrf(
+                    x,
+                    weights,
+                    cfg.resblock_kernel_sizes,
+                    cfg.resblock_dilation_sizes,
+                    post=post_w,
+                    interpret=interpret,
+                )
+                post_done = last
+                continue
+            except ValueError:
+                x = fused_mrf(
+                    x,
+                    weights,
+                    cfg.resblock_kernel_sizes,
+                    cfg.resblock_dilation_sizes,
+                    interpret=interpret,
+                )
         else:
             x = xla_mrf(x, i)
+    if post_done:
+        return x
     x = jax.nn.leaky_relu(x)
     x = conv("conv_post", x, 7)
     return jnp.tanh(x)

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 
 import jax
@@ -71,16 +71,69 @@ def _pack_offsets(k: int, d: int, g: int) -> Tuple[List[int], List[Tuple[int, in
     return sorted(offsets), placements
 
 
-def _pack_matrices(w: jax.Array, k: int, d: int, g: int, C: int):
-    """Assemble packed weight matrices A [nq, g*C, g*C] from w [k, C, C]."""
+def _pack_matrices(
+    w: jax.Array, k: int, d: int, g: int, C: int, C_out: Optional[int] = None
+):
+    """Assemble packed weight matrices A [nq, g*C, g*C_out] from
+    w [k, C, C_out] (C_out defaults to C for the square MRF convs)."""
+    C_out = C if C_out is None else C_out
     offsets, placements = _pack_offsets(k, d, g)
     qindex = {q: i for i, q in enumerate(offsets)}
-    A = jnp.zeros((len(offsets), g * C, g * C), jnp.float32)
+    A = jnp.zeros((len(offsets), g * C, g * C_out), jnp.float32)
     for (q, t, r, j) in placements:
-        A = A.at[qindex[q], r * C : (r + 1) * C, j * C : (j + 1) * C].add(
-            w[t].astype(jnp.float32)
-        )
+        A = A.at[
+            qindex[q], r * C : (r + 1) * C, j * C_out : (j + 1) * C_out
+        ].add(w[t].astype(jnp.float32))
     return offsets, A
+
+
+def _pack_transpose_matrices(
+    w: jax.Array, bias: jax.Array, u: int, g_in: int, g_out: int
+):
+    """ConvTranspose1d (stride ``u``, SAME) as packed row matmuls.
+
+    Input rows pack ``g_in`` positions of C_in channels (W_in lanes);
+    output rows pack ``g_out`` positions of C_out channels (W_out lanes).
+    One input row yields ``F = g_in*u/g_out`` output rows, so
+    ``Y_chunk[i] = sum_o X[i+o] @ B_o`` followed by a
+    [R, F*W_out] -> [R*F, W_out] reshape reproduces
+    ``jax.lax.conv_transpose(..., padding="SAME")`` exactly.
+
+    Derivation: jax SAME conv_transpose is a stride-1 correlation over the
+    u-dilated input with leading pad ``pad_a`` (lax._conv_transpose_padding),
+    so x[idx] through tap t lands at output n = idx*u + pad_a - t.
+
+    Returns (offsets, B [no, W_in, F*W_out], bias_row [F*W_out], F).
+    """
+    k, C_in, C_out = w.shape
+    assert (g_in * u) % g_out == 0
+    F = (g_in * u) // g_out
+    if u > k - 1:
+        pad_a = k - 1
+    else:
+        pad_a = -(-(k + u - 2) // 2)  # ceil((k + u - 2) / 2)
+    placements = []
+    offsets = set()
+    for r in range(g_in):
+        for t in range(k):
+            s = r * u + pad_a - t  # output position within the i=0 chunk
+            qp, j = divmod(s, g_out)  # output row offset + intra-row block
+            oq, f = divmod(qp, F)  # chunk offset + row within chunk
+            o = -oq  # X[i + o] feeds chunk i
+            placements.append((o, t, r, f, j))
+            offsets.add(o)
+    offsets = sorted(offsets)
+    qindex = {o: i for i, o in enumerate(offsets)}
+    W_in = g_in * C_in
+    W_out_f = F * g_out * C_out
+    B = jnp.zeros((len(offsets), W_in, W_out_f), jnp.float32)
+    for (o, t, r, f, j) in placements:
+        col = (f * g_out + j) * C_out
+        B = B.at[
+            qindex[o], r * C_in : (r + 1) * C_in, col : col + C_out
+        ].add(w[t].astype(jnp.float32))
+    bias_row = jnp.tile(bias.astype(jnp.float32), F * g_out)
+    return offsets, B, bias_row, F
 
 
 def _conv_radius_rows(k: int, d: int, g: int) -> int:
@@ -116,30 +169,43 @@ def _pick_tile_rows(rows: int, width: int) -> int:
 
 
 def _mrf_kernel(
-    x_ref,  # ANY [B, rows_padded, W]
+    x_ref,  # ANY [B, rows_padded, W] (or [B, rows_in_padded, W_in] fused)
     a_all_ref,  # ANY [N, W, W] — all packed conv matrices, streamed
     bias_ref,  # VMEM [n_convs, W]
-    out_ref,  # VMEM [1, Tp, W]
-    buf_ref,  # VMEM [Pp, W]
-    a_buf_ref,  # VMEM [max_nq, W, W]
-    sem_x,
-    sem_a,
-    *,
+    *rest,  # (+ ups_b_ref, ups_bias_ref when fusing) out_ref + scratch
     conv_plan: Tuple,  # ((n_blocks)(per conv: (offsets tuple, a_start)))
     n_blocks: int,
     Tp: int,
     Hp: int,
     total_rows: int,
+    ups_plan=None,  # (offsets tuple, F, P_in, P_in_buf) when fusing convT
+    post_plan=None,  # offsets tuple when fusing lrelu+conv_post+tanh
     compute_dtype=jnp.float32,
 ):
+    rest = list(rest)
+    ups_b_ref = ups_bias_ref = post_b_ref = post_bias_ref = None
+    if ups_plan is not None:
+        ups_b_ref, ups_bias_ref = rest[:2]
+        rest = rest[2:]
+    if post_plan is not None:
+        post_b_ref, post_bias_ref = rest[:2]
+        rest = rest[2:]
+    out_ref, buf_ref, a_buf_ref, sem_x, sem_a = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     Pp = Tp + 2 * Hp
-    W = buf_ref.shape[-1]
+    W = a_buf_ref.shape[-1]
 
-    dma = pltpu.make_async_copy(
-        x_ref.at[b, pl.ds(i * Tp, Pp), :], buf_ref, sem_x
-    )
+    if ups_plan is None:
+        dma = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(i * Tp, Pp), :], buf_ref, sem_x
+        )
+    else:
+        _, _, _, P_in_buf = ups_plan
+        T_in = Tp // ups_plan[1]
+        dma = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(i * T_in, P_in_buf), :], buf_ref, sem_x
+        )
     dma.start()
     dma.wait()
 
@@ -207,7 +273,27 @@ def _mrf_kernel(
         conv_counter[0] += 1
         return jnp.where(valid, y, 0.0)
 
-    x = buf_ref[:]  # [Pp, W]
+    if ups_plan is None:
+        x = buf_ref[:]  # [Pp, W]
+    else:
+        # Fused leaky_relu + ConvTranspose: packed matmuls over the input
+        # tile, then a [P_in, F*W] -> [Pp, W] row unpack.  Out-of-sequence
+        # rows are re-zeroed (the bias would otherwise leak into the halo).
+        ups_offsets, F, P_in, _ = ups_plan
+        omin = ups_offsets[0]
+        W_in = buf_ref.shape[-1]
+        xin = _lrelu(buf_ref[:].astype(compute_dtype))
+        y = None
+        for oi, o in enumerate(ups_offsets):
+            contrib = jax.lax.dot_general(
+                jax.lax.slice(xin, (o - omin, 0), (o - omin + P_in, W_in)),
+                ups_b_ref[oi].astype(compute_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = contrib if y is None else y + contrib
+        y = y + ups_bias_ref[0]
+        x = jnp.where(valid, y.reshape(P_in * F, W), 0.0)
     acc = None
     for blk in range(n_blocks):
         r = x
@@ -216,10 +302,41 @@ def _mrf_kernel(
             y = packed_conv(_lrelu(y), offsets2, start2)
             r = y + r
         acc = r if acc is None else acc + r
+    acc = acc / float(n_blocks)
 
-    out_ref[0] = (
-        jax.lax.slice(acc, (Hp, 0), (Hp + Tp, W)) / float(n_blocks)
-    )
+    if post_plan is None:
+        out_ref[0] = jax.lax.slice(acc, (Hp, 0), (Hp + Tp, W))
+        return
+
+    # Epilogue: generator tail fused in — leaky_relu (torch-default 0.01
+    # slope, reference hifigan/model.py:122) -> conv_post -> tanh.  The
+    # [*, W] @ [W, g] matmuls are tiny; the win is skipping the HBM
+    # round-trip and XLA's poor narrow-channel conv.
+    z = jnp.where(acc > 0, acc, 0.01 * acc)
+    z = jnp.where(valid, z, 0.0)
+    qmin, qmax = post_plan[0], post_plan[-1]
+    left, right = max(0, -qmin), max(0, qmax)
+    if left or right:
+        z = jnp.concatenate(
+            [
+                jnp.zeros((left, W), z.dtype),
+                z,
+                jnp.zeros((right, W), z.dtype),
+            ],
+            axis=0,
+        )
+    y = None
+    for qi, q in enumerate(post_plan):
+        contrib = jax.lax.dot_general(
+            jax.lax.slice(z, (q - qmin, 0), (q - qmin + Pp, W)),
+            post_b_ref[qi].astype(z.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = contrib if y is None else y + contrib
+    y = jnp.tanh(y + post_bias_ref[0])
+    g_out = out_ref.shape[-1]
+    out_ref[0] = jax.lax.slice(y, (Hp, 0), (Hp + Tp, g_out))
 
 
 # ---------------------------------------------------------------------------
@@ -233,18 +350,38 @@ def fused_mrf(
     kernel_sizes: Sequence[int],
     dilations: Sequence[Sequence[int]],
     *,
+    upsample: Optional[Tuple[jax.Array, jax.Array, int]] = None,
+    post: Optional[Tuple[jax.Array, jax.Array]] = None,
     interpret: bool = False,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
-    """Apply the fused MRF stack to x [B, L, C]; returns [B, L, C] f32.
+    """Apply the fused (ConvTranspose +) MRF (+ conv_post) stack.
+
+    Without ``upsample``: x is [B, L, C] (already upsampled).
+    With ``upsample=(w [k, C_in, C], b [C], u)``: x is [B, L//u, C_in] and
+    the kernel computes ``leaky_relu -> ConvTranspose(stride u, SAME) ->
+    MRF`` in one pass, so the upsampled activation never round-trips
+    through HBM (reference stage structure: hifigan/model.py:109-121).
+    With ``post=(w [kp, C, C_post], b [C_post])`` the generator tail
+    (leaky_relu(0.01) -> conv_post -> tanh, hifigan/model.py:121-124) is
+    fused in as an epilogue and the result is [B, L, C_post] waveform.
+
+    Returns [B, L, C] f32 (or [B, L, C_post] with ``post``).
 
     ``weights[blk] = (W1 [D,k,C,C], B1 [D,C], W2 [D,k,C,C], B2 [D,C])``.
-    Requires 128 % C == 0 or C % 128 == 0.
+    Requires 128 % C == 0 or C % 128 == 0 (likewise for C_in).
     """
-    B, L, C = x.shape
     kernel_sizes = tuple(kernel_sizes)
     dilations = tuple(tuple(d) for d in dilations)
     n_blocks = len(kernel_sizes)
+
+    if upsample is not None:
+        w_t, b_t, stride_u = upsample
+        B, L_in, C_in = x.shape
+        C = w_t.shape[2]
+        L = L_in * stride_u
+    else:
+        B, L, C = x.shape
 
     g = max(1, LANES // C)
     if C < LANES and LANES % C != 0:
@@ -257,8 +394,12 @@ def fused_mrf(
     rows = L // g
 
     # Round the halo up to the f32 sublane tile (8) so DMA'd buffer heights
-    # stay aligned.
-    Hp = -(-_stack_radius_rows(kernel_sizes, dilations, g) // 8) * 8
+    # stay aligned.  The conv_post epilogue (when fused) reads the MRF
+    # output at +-its radius, so its reach joins the stack radius.
+    radius = _stack_radius_rows(kernel_sizes, dilations, g)
+    if post is not None:
+        radius += _conv_radius_rows(post[0].shape[0], 1, g)
+    Hp = -(-radius // 8) * 8
     Tp = _pick_tile_rows(rows, W)
     if rows % Tp != 0:
         raise ValueError(f"{rows} rows not divisible by tile {Tp}")
@@ -290,8 +431,59 @@ def fused_mrf(
     a_all = jnp.concatenate(a_parts, axis=0)  # [N, W, W]
     bias_all = jnp.stack(biases)  # [n_convs, W]
 
-    xp = x.astype(jnp.float32).reshape(B, rows, W)
-    xp = jnp.pad(xp, ((0, 0), (Hp, Hp), (0, 0)))
+    ups_plan = None
+    ups_inputs: Tuple = ()
+    if upsample is not None:
+        g_in = max(1, LANES // C_in)
+        if C_in < LANES and LANES % C_in != 0:
+            raise ValueError(f"in-channels {C_in} must divide {LANES}")
+        if C_in >= LANES and C_in % LANES != 0:
+            raise ValueError(f"in-channels {C_in} must be a multiple of {LANES}")
+        W_in = g_in * C_in
+        if L_in % g_in != 0:
+            raise ValueError(f"input length {L_in} not divisible by {g_in}")
+        rows_in = L_in // g_in
+        ups_offsets, ups_B, ups_bias_row, F = _pack_transpose_matrices(
+            w_t, b_t, stride_u, g_in, g
+        )
+        assert rows == rows_in * F, (rows, rows_in, F)
+        if Hp % F != 0 or Tp % F != 0:
+            raise ValueError(f"tile ({Tp}) / halo ({Hp}) not divisible by {F}")
+        omin, omax = ups_offsets[0], ups_offsets[-1]
+        T_in = Tp // F
+        H_in = Hp // F
+        P_in = T_in + 2 * H_in
+        P_in_buf = -(-(P_in + (omax - omin)) // 8) * 8  # sublane-aligned DMA
+        # Pad so the DMA window for tile i starts at padded row i*T_in and
+        # the last tile's window stays in bounds.
+        l_pad = H_in - omin
+        r_pad = max(P_in_buf - T_in - l_pad, 0)
+        xp = x.astype(jnp.float32).reshape(B, rows_in, W_in)
+        xp = jnp.pad(xp, ((0, 0), (l_pad, r_pad), (0, 0)))
+        ups_plan = (tuple(ups_offsets), F, P_in, P_in_buf)
+        ups_inputs = (ups_B, ups_bias_row[None, :])
+        buf_shape = (P_in_buf, W_in)
+    else:
+        xp = x.astype(jnp.float32).reshape(B, rows, W)
+        xp = jnp.pad(xp, ((0, 0), (Hp, Hp), (0, 0)))
+        buf_shape = (Tp + 2 * Hp, W)
+
+    post_plan = None
+    post_inputs: Tuple = ()
+    out_w = W
+    C_out_final = C
+    if post is not None:
+        w_p, b_p = post
+        kp = w_p.shape[0]
+        C_post = w_p.shape[2]
+        post_offs, post_A = _pack_matrices(w_p, kp, 1, g, C, C_post)
+        post_plan = tuple(post_offs)
+        post_inputs = (
+            post_A,
+            jnp.tile(b_p.astype(jnp.float32), g)[None, :],
+        )
+        out_w = g * C_post
+        C_out_final = C_post
 
     kernel = partial(
         _mrf_kernel,
@@ -300,6 +492,8 @@ def fused_mrf(
         Tp=Tp,
         Hp=Hp,
         total_rows=rows,
+        ups_plan=ups_plan,
+        post_plan=post_plan,
         compute_dtype=compute_dtype,
     )
 
@@ -310,20 +504,22 @@ def fused_mrf(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (len(ups_inputs) + len(post_inputs)),
         out_specs=pl.BlockSpec(
-            (1, Tp, W), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, Tp, out_w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, rows, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, rows, out_w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Tp + 2 * Hp, W), jnp.float32),
+            pltpu.VMEM(buf_shape, jnp.float32),
             pltpu.VMEM((2, max_nq, W, W), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, a_all, bias_all)
-    return out.reshape(B, L, C)
+    )(xp, a_all, bias_all, *ups_inputs, *post_inputs)
+    return out.reshape(B, L, C_out_final)
 
 
 def mrf_weights_from_params(params, stage: int, num_kernels: int):
