@@ -22,7 +22,7 @@ math, same dropout masking); verified in tests/test_ar_decoder.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 64
+# VMEM the streamed per-chunk buffers may use (double-buffered gate +
+# keep-mask + output chunks).  Calibrated empirically on v5e at the real
+# model dims (H=512, P=256, D=80; resident weights ~16.7 MB): ~10 MB of
+# stream (~26.5 MB total) compiles for every probed batch (4/8/16/32),
+# while ~20 MB of stream (~36 MB total) makes the Mosaic compile fail.
+STREAM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def pick_chunk(B: int, H: int, P: int, D: int, L: int) -> Optional[int]:
+    """Largest chunk (<= CHUNK, power of two, >= 8) whose double-buffered
+    streams fit STREAM_BUDGET_BYTES; None if even chunk=8 does not fit
+    (fall back to the lax.scan decode)."""
+    per_frame = B * (2 * 4 * H + 2 * P + 2 * D) * 4  # g1c+g2c, keeps, out
+    chunk = CHUNK
+    while chunk >= 8:
+        if 2 * chunk * per_frame <= STREAM_BUDGET_BYTES and L % chunk == 0:
+            return chunk
+        chunk //= 2
+    return None
 
 
 def _ar_kernel(
@@ -128,6 +147,7 @@ def ar_decode(
     proj_bias: jax.Array,  # [D]
     dropout_scale: float,
     *,
+    chunk: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Run the fused AR decode; returns mel frames [B, L, D] (pre-postnet)."""
@@ -135,8 +155,14 @@ def ar_decode(
     H = H4 // 4
     D = proj_kernel.shape[1]
     P = k_fc2.shape[0]
-    if L % CHUNK != 0:
-        raise ValueError(f"n_frames {L} must be a multiple of {CHUNK}")
+    if chunk is None:
+        chunk = pick_chunk(B, H, P, D, L)
+    if chunk is None:
+        raise ValueError(
+            f"no VMEM-feasible chunk for B={B}, H={H} — use the scan decode"
+        )
+    if L % chunk != 0:
+        raise ValueError(f"n_frames {L} must be a multiple of chunk {chunk}")
 
     g1c_t = jnp.swapaxes(g1c, 0, 1)  # [L, B, 4H]
     g2c_t = jnp.swapaxes(g2c, 0, 1)
@@ -147,14 +173,14 @@ def ar_decode(
 
     def chunk_spec(width):
         return pl.BlockSpec(
-            (CHUNK, B, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk, B, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
-        grid=(L // CHUNK,),
+        grid=(L // chunk,),
         in_specs=[
             chunk_spec(4 * H),
             chunk_spec(4 * H),
@@ -164,7 +190,7 @@ def ar_decode(
             full(),
         ],
         out_specs=pl.BlockSpec(
-            (CHUNK, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (chunk, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((L, B, D), jnp.float32),
         scratch_shapes=[
