@@ -9,8 +9,8 @@ This trainer reproduces that recipe natively:
   create_mel.py:137-171) so every batch is one static shape;
 * generator loss = LSGAN adversarial (MPD + MSD) + 2x feature matching +
   45x L1 mel loss, discriminator loss = LSGAN (upstream train.py recipe);
-* AdamW(b1=0.8, b2=0.99) with per-step exponential decay approximating the
-  upstream per-epoch 0.999 schedule;
+* AdamW(b1=0.8, b2=0.99) with the upstream per-epoch 0.999 exponential LR
+  decay (one epoch = one pass over the dataset, train.py scheduler.step());
 * ``fine_tuning`` mode pairs GTA-predicted mels (tools/gta.py) with real
   audio, exactly like the reference finetune path;
 * generator trains with explicit weight-norm reparameterization; weights are
@@ -45,7 +45,7 @@ from viettts_tpu.models.hifigan import (
     generator_adversarial_loss,
 )
 from viettts_tpu.ops.mel import LogMelSpectrogram
-from viettts_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from viettts_tpu.parallel.mesh import make_mesh, mesh_for_batch, replicate, shard_batch
 from viettts_tpu.train.checkpoint import (
     NATIVE_FORMAT,
     load_checkpoint,
@@ -247,10 +247,11 @@ def train(
     gta_dir: Optional[Path] = None,
     num_steps: Optional[int] = None,
     log_every: int = 1000,
+    on_metrics=None,
 ) -> GanState:
     hcfg = cfg.hifigan
     hop = cfg.dsp.hop_length
-    mesh = make_mesh(cfg.train.num_devices)
+    mesh = mesh_for_batch(cfg.train.batch_size, cfg.train.num_devices)
     mel_fn = LogMelSpectrogram(cfg.dsp)
 
     generator = Generator(hcfg, use_wn=True)
@@ -261,12 +262,6 @@ def train(
         num_scales=hcfg.msd_scales, base_channels=hcfg.msd_base_channels
     )
 
-    lr = optax.exponential_decay(
-        hcfg.learning_rate, 1000, hcfg.lr_decay, staircase=True
-    )
-    gen_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
-    disc_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
-
     ds = VocoderDataset(
         wav_dir or cfg.data_dir,
         hcfg.segment_size,
@@ -275,6 +270,15 @@ def train(
         sample_rate=cfg.dsp.sample_rate,
     )
     data = ds.batches(cfg.train.batch_size, seed=cfg.train.seed)
+
+    # Upstream hifi-gan decays the LR by ``lr_decay`` once per EPOCH
+    # (train.py scheduler.step()); one epoch = one pass over the dataset.
+    steps_per_epoch = max(1, len(ds) // cfg.train.batch_size)
+    lr = optax.exponential_decay(
+        hcfg.learning_rate, steps_per_epoch, hcfg.lr_decay, staircase=True
+    )
+    gen_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
+    disc_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     mel0, audio0 = next(data)
@@ -333,6 +337,8 @@ def train(
             state, metrics = step_fn(state, mel_in, audio)
             for k in avg:
                 avg[k].add(metrics[k])
+            if on_metrics is not None:
+                on_metrics(int(state.step), metrics)
             done += 1
             if int(state.step) % log_every == 0:
                 sps = done / max(time.time() - t0, 1e-6)
