@@ -1,8 +1,10 @@
-"""Acoustic-model training throughput on the current backend.
+"""Training throughput on the current backend.
 
-Runs the real jitted multi-step update (loss incl. in-graph mel extraction,
-grads, clip+AdamW) on synthetic reference-shaped batches and reports
-optimizer steps/sec and examples/sec.  Writes benchmarks/train_results.json.
+Acoustic: the real jitted multi-step update (loss incl. in-graph mel
+extraction, grads, clip+AdamW) on synthetic reference-shaped batches.
+Vocoder: the full HiFi-GAN GAN step (generator + MPD + MSD fwd/bwd, both
+optimizers) at production size, f32 and bf16 mixed precision.
+Writes benchmarks/train_results.json.
 """
 
 import json
@@ -99,11 +101,79 @@ def main():
         / dt,
         "final_loss": float(loss),
     }
+    results["vocoder_gan"] = bench_gan()
+
     Path("benchmarks").mkdir(exist_ok=True)
     (Path("benchmarks") / "train_results.json").write_text(
         json.dumps(results, indent=2)
     )
     print(json.dumps(results, indent=2))
+
+
+def bench_gan(batch=16, steps=6):
+    """Full-size HiFi-GAN GAN-step throughput, f32 vs bf16."""
+    import dataclasses
+
+    from viettts_tpu.config import Config, TrainConfig
+    from viettts_tpu.models.hifigan import (
+        Generator,
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+    )
+    from viettts_tpu.ops.mel import LogMelSpectrogram
+    from viettts_tpu.train.hifigan import GanState, make_gan_step
+
+    import optax
+
+    out = {"batch_size": batch}
+    for mixed in (False, True):
+        cfg = Config(train=TrainConfig(mixed_precision=mixed))
+        hcfg = cfg.hifigan
+        mel_fn = LogMelSpectrogram(cfg.dsp)
+        gen_dtype = jnp.bfloat16 if mixed else jnp.float32
+        generator = Generator(hcfg, use_wn=True, dtype=gen_dtype)
+        mpd = MultiPeriodDiscriminator(
+            periods=hcfg.mpd_periods, base_channels=hcfg.mpd_base_channels
+        )
+        msd = MultiScaleDiscriminator(
+            num_scales=hcfg.msd_scales, base_channels=hcfg.msd_base_channels
+        )
+        tx = optax.adamw(hcfg.learning_rate, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
+
+        rng = np.random.RandomState(0)
+        audio = jnp.asarray(
+            rng.randn(batch, hcfg.segment_size).astype(np.float32) * 0.1
+        )
+        mel = jax.jit(mel_fn)(audio)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        gen_params = jax.jit(generator.init)(k1, mel)["params"]
+        y0 = audio[..., None]
+        msd_vars = jax.jit(partial(msd.init))(k3, y0, y0)
+        disc_params = {
+            "mpd": jax.jit(mpd.init)(k2, y0, y0)["params"],
+            "msd": msd_vars["params"],
+        }
+        state = GanState(
+            step=jnp.asarray(0, jnp.int32),
+            gen_params=gen_params,
+            disc_params=disc_params,
+            spectral=msd_vars.get("spectral", {}),
+            gen_opt=tx.init(gen_params),
+            disc_opt=tx.init(disc_params),
+            rng=jax.random.PRNGKey(0),
+        )
+        step_fn = make_gan_step(cfg, generator, mpd, msd, tx, tx, mel_fn)
+        state, metrics = step_fn(state, None, audio)  # compile
+        _ = float(metrics["mel_l1"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, None, audio)
+        _ = float(metrics["mel_l1"])
+        dt = time.perf_counter() - t0
+        key = "bf16" if mixed else "f32"
+        out[f"steps_per_sec_{key}"] = steps / dt
+        out[f"mel_l1_{key}"] = float(metrics["mel_l1"])
+    return out
 
 
 if __name__ == "__main__":

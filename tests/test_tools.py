@@ -226,3 +226,38 @@ def test_vocoder_gan_training_runs(corpus, tmp_path):
     wav = gen.apply(variables, jnp.zeros((1, 8, 80)))
     assert wav.shape == (1, 8 * 256, 1)
     assert bool(jnp.isfinite(wav).all())
+
+
+def test_vocoder_gan_training_mixed_precision(corpus, tmp_path):
+    """bf16 GAN step (train.mixed_precision): runs, finite losses, f32
+    master params preserved, and the first-step losses stay close to the
+    f32 step's (same init, same batch)."""
+    import dataclasses
+
+    from viettts_tpu.train import hifigan as htrain
+
+    cfg = _tiny_cfg(corpus, tmp_path / "f32")
+    losses = {}
+    for mixed, ckpt_dir in ((False, tmp_path / "f32"), (True, tmp_path / "bf16")):
+        ckpt_dir.mkdir(exist_ok=True)
+        c = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(cfg.train, mixed_precision=mixed),
+            ckpt_dir=ckpt_dir,
+        )
+        got = {}
+        state = htrain.train(
+            c, wav_dir=corpus, num_steps=1, log_every=1,
+            on_metrics=lambda step, m, got=got: got.update(
+                {k: float(m[k]) for k in ("disc_loss", "gen_loss", "mel_l1")}
+            ),
+        )
+        assert all(np.isfinite(v) for v in got.values()), got
+        # master params stay f32 under mixed precision
+        leaf = jax.tree.leaves(state.gen_params)[0]
+        assert leaf.dtype == jnp.float32
+        losses[mixed] = got
+
+    for k in losses[False]:
+        a, b = losses[False][k], losses[True][k]
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.1, (k, a, b)

@@ -516,16 +516,22 @@ class MultiScaleDiscriminator(nn.Module):
 
 
 def feature_matching_loss(fmaps_real, fmaps_gen) -> jax.Array:
+    # Accumulate in f32 so the bf16 mixed-precision training path keeps
+    # full-precision loss reductions (no-op casts under plain f32).
     loss = 0.0
     for fmap_r, fmap_g in zip(fmaps_real, fmaps_gen):
         for r, g in zip(fmap_r, fmap_g):
-            loss = loss + jnp.mean(jnp.abs(r - g))
+            loss = loss + jnp.mean(
+                jnp.abs(r.astype(jnp.float32) - g.astype(jnp.float32))
+            )
     return loss * 2.0
 
 
 def discriminator_loss(real_outs, gen_outs) -> jax.Array:
     loss = 0.0
     for dr, dg in zip(real_outs, gen_outs):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         loss = loss + jnp.mean(jnp.square(1.0 - dr)) + jnp.mean(jnp.square(dg))
     return loss
 
@@ -533,7 +539,7 @@ def discriminator_loss(real_outs, gen_outs) -> jax.Array:
 def generator_adversarial_loss(gen_outs) -> jax.Array:
     loss = 0.0
     for dg in gen_outs:
-        loss = loss + jnp.mean(jnp.square(1.0 - dg))
+        loss = loss + jnp.mean(jnp.square(1.0 - dg.astype(jnp.float32)))
     return loss
 
 

@@ -149,21 +149,50 @@ def make_gan_step(
     disc_tx: optax.GradientTransformation,
     mel_fn: LogMelSpectrogram,
 ):
-    """One jitted GAN update: discriminator step, then generator step."""
+    """One jitted GAN update: discriminator step, then generator step.
+
+    With ``cfg.train.mixed_precision`` the forward/backward compute of the
+    generator and both discriminator stacks runs in bfloat16 (params cast
+    at the loss boundary — the same scheme as
+    ``train.common.mixed_precision_loss``); master params, optimizer
+    state, loss reductions, and the mel-spectrogram L1 stay float32.
+    """
+
+    mixed = cfg.train.mixed_precision
+
+    def _cast(tree, dt=jnp.bfloat16):
+        if not mixed:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
 
     def disc_loss_fn(disc_params, spectral, y, y_hat):
+        disc_params = _cast(disc_params)
+        spectral, y, y_hat = _cast(spectral), _cast(y), _cast(y_hat)
         p_r, p_g, _, _ = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
         (s_r, s_g, _, _), updates = msd.apply(
             {"params": disc_params["msd"], "spectral": spectral},
             y, y_hat, update_stats=True, mutable=["spectral"],
         )
         loss = discriminator_loss(p_r, p_g) + discriminator_loss(s_r, s_g)
-        return loss, updates["spectral"]
+        spectral_new = jax.tree.map(
+            lambda x: x.astype(jnp.float32), updates["spectral"]
+        )
+        return loss, spectral_new
 
     def gen_loss_fn(gen_params, disc_params, spectral, mel_in, y, mel_target):
         y_hat = generator.apply({"params": gen_params}, mel_in)
-        mel_hat = mel_fn(y_hat[..., 0])
+        # mel L1 in f32: the log-compressed spectral distance is the
+        # training signal most sensitive to precision.
+        mel_hat = mel_fn(y_hat[..., 0].astype(jnp.float32))
         mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_target))
+        disc_params = _cast(disc_params)
+        spectral, y = _cast(spectral), _cast(y)
+        y_hat = _cast(y_hat)
 
         p_r, p_g, p_fr, p_fg = mpd.apply({"params": disc_params["mpd"]}, y, y_hat)
         s_r, s_g, s_fr, s_fg = msd.apply(
@@ -183,6 +212,8 @@ def make_gan_step(
         cond = mel_in if mel_in is not None else mel_target
 
         # --- discriminator step (generator frozen) ---
+        # (generator compute dtype comes from its module `dtype`; params
+        # stay f32 so the weight-norm reparameterization stays f32)
         y_hat = generator.apply({"params": state.gen_params}, cond)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
         (d_loss, spectral), d_grads = jax.value_and_grad(
@@ -254,7 +285,10 @@ def train(
     mesh = mesh_for_batch(cfg.train.batch_size, cfg.train.num_devices)
     mel_fn = LogMelSpectrogram(cfg.dsp)
 
-    generator = Generator(hcfg, use_wn=True)
+    # bf16 compute dtype under mixed precision; master params stay f32
+    # (flax param dtype is set by the initializers, which return f32).
+    gen_dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
+    generator = Generator(hcfg, use_wn=True, dtype=gen_dtype)
     mpd = MultiPeriodDiscriminator(
         periods=hcfg.mpd_periods, base_channels=hcfg.mpd_base_channels
     )
