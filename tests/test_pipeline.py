@@ -281,3 +281,16 @@ def test_decode_mel_sub_batch_split(synth):
     for r in res:
         assert len(r.wave) == r.mel.shape[0] * 256
         assert np.all(np.isfinite(r.wave))
+
+
+def test_batch_size_bucketing(synth):
+    """Batch dim pads to a power-of-two bucket; padded rows are dropped."""
+    texts = ["một", "hai ba", "bốn năm sáu"]
+    results = synth.synthesize_batch(texts)
+    assert len(results) == 3
+    for r in results:
+        assert np.all(np.isfinite(r.wave))
+    # a single text still works (bucket 1) and matches unbatched output
+    r1 = synth.synthesize_batch(["một hai"])[0]
+    r2 = synth.synthesize("một hai")
+    assert len(r1.wave) == len(r2.wave)

@@ -1,0 +1,122 @@
+"""Serving layer: dynamic batching semantics + the HTTP surface."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave as wave_mod
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+import numpy as np
+import pytest
+
+from viettts_tpu.serve import DynamicBatcher, TTSServer, wav_bytes
+
+# real-Synthesizer fixtures (module-scoped; re-instantiated per module)
+from tests.test_pipeline import tiny_cfg, ckpt_dir, synth  # noqa: F401
+
+
+@dataclass
+class _FakeResult:
+    wave: np.ndarray
+
+
+class _FakeSynth:
+    """Records batch compositions; returns per-text dummy waves."""
+
+    def __init__(self):
+        self.calls = []
+        self.lock = threading.Lock()
+
+    def synthesize_batch(self, texts, silence_duration=-1.0):
+        with self.lock:
+            self.calls.append((list(texts), silence_duration))
+        return [
+            _FakeResult(np.full(100 + len(t), 0.1, np.float32)) for t in texts
+        ]
+
+
+def test_batcher_coalesces_concurrent_requests():
+    fake = _FakeSynth()
+    b = DynamicBatcher(fake, max_batch=8, batch_window_ms=500.0)
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            futs = [
+                ex.submit(b.submit, f"text number {i}") for i in range(4)
+            ]
+            waves = [f.result(timeout=30) for f in futs]
+        # each request got its own wave, length keyed to its text
+        lengths = sorted(len(w) for w in waves)
+        assert lengths == sorted(100 + len(f"text number {i}") for i in range(4))
+        # requests were coalesced: fewer calls than requests
+        assert len(fake.calls) < 4
+        assert sum(len(texts) for texts, _ in fake.calls) == 4
+        s = b.stats()
+        assert s["requests"] == 4 and s["batches"] == len(fake.calls)
+        assert s["mean_batch_size"] > 1
+    finally:
+        b.close()
+
+
+def test_batcher_groups_by_silence_duration():
+    fake = _FakeSynth()
+    b = DynamicBatcher(fake, max_batch=8, batch_window_ms=500.0)
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            futs = [
+                ex.submit(b.submit, f"t{i}", (-1.0 if i % 2 else 0.5))
+                for i in range(4)
+            ]
+            for f in futs:
+                f.result(timeout=30)
+        sds = sorted(sd for _, sd in fake.calls)
+        assert set(sds) == {-1.0, 0.5}
+        for texts, sd in fake.calls:
+            assert len(texts) <= 2  # never mixes clamp values
+    finally:
+        b.close()
+
+
+def test_wav_bytes_roundtrip():
+    data = np.sin(np.linspace(0, 20, 1600)).astype(np.float32) * 0.5
+    blob = wav_bytes(data, 16000)
+    with wave_mod.open(io.BytesIO(blob)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1
+        pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    np.testing.assert_allclose(pcm / 32767.0, data, atol=1e-4)
+
+
+def test_http_server_end_to_end(synth):  # noqa: F811
+    server = TTSServer(synth, host="127.0.0.1", port=0, batch_window_ms=50.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        req = urllib.request.Request(
+            base + "/tts",
+            data=json.dumps({"text": "một hai ba"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            blob = r.read()
+        with wave_mod.open(io.BytesIO(blob)) as w:
+            assert w.getframerate() == synth.cfg.dsp.sample_rate
+            assert w.getnframes() > 0
+
+        # malformed request -> 400
+        bad = urllib.request.Request(base + "/tts", data=b'{"nope": 1}')
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["requests"] >= 1
+    finally:
+        server.shutdown()

@@ -317,9 +317,19 @@ class Synthesizer:
     def synthesize_batch(
         self, texts: Sequence[str], silence_duration: float = -1.0
     ) -> List[SynthesisResult]:
-        """Synthesize a batch of texts in one padded device program."""
+        """Synthesize a batch of texts in one padded device program.
+
+        The batch dimension is padded up to a power-of-two bucket (like the
+        token/frame dims), so serving arbitrary concurrency compiles a
+        handful of programs instead of one per distinct batch size."""
         token_rows = [self.text_to_token_ids(t) for t in texts]
-        return self._synthesize_rows(token_rows, silence_duration)
+        n = len(token_rows)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        # pad with minimal silent rows; dropped from the results below
+        token_rows = token_rows + [[SIL_INDEX]] * (bucket - n)
+        return self._synthesize_rows(token_rows, silence_duration)[:n]
 
     def _synthesize_rows(
         self, token_rows: List[List[int]], silence_duration: float = -1.0
