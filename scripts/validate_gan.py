@@ -77,12 +77,17 @@ def main(steps=600):
 
     history = {"step": [], "disc_loss": [], "gen_loss": [], "mel_l1": []}
 
+    sample_t = []  # (step, dispatch wall-time): backpressure makes the
+    # dispatch rate track the device step rate at steady state
+
     def on_metrics(step, metrics):
         # device arrays; fetching every step would sync the tunnel — sample
         if step % 10 == 0 or step <= 50:
             history["step"].append(step)
             for k in ("disc_loss", "gen_loss", "mel_l1"):
                 history[k].append(float(metrics[k]))
+        if step % 10 == 0:
+            sample_t.append((step, time.time()))
 
     from viettts_tpu.train import hifigan as htrain
 
@@ -93,6 +98,14 @@ def main(steps=600):
     )
     dt = time.time() - t0
     sps = steps / dt
+    # steady-state rate over the back half (excludes jit compile, the
+    # first-steps ramp, and the end-of-run checkpoint fetch)
+    half = [s for s in sample_t if s[0] >= steps // 2]
+    sps_steady = (
+        (half[-1][0] - half[0][0]) / max(half[-1][1] - half[0][1], 1e-9)
+        if len(half) > 1
+        else float("nan")
+    )
 
     mel = np.asarray(history["mel_l1"])
     st = np.asarray(history["step"])
@@ -109,6 +122,7 @@ def main(steps=600):
         "batch_size": cfg.train.batch_size,
         "segment_size": cfg.hifigan.segment_size,
         "steps_per_sec": round(sps, 3),
+        "steps_per_sec_steady": round(float(sps_steady), 3),
         "mel_l1_first50_avg": round(float(early), 4),
         "mel_l1_last_avg": round(float(late), 4),
         "mel_l1_reduction": round(float(1 - late / early), 4),

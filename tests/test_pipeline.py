@@ -294,3 +294,33 @@ def test_batch_size_bucketing(synth):
     r1 = synth.synthesize_batch(["một hai"])[0]
     r2 = synth.synthesize("một hai")
     assert len(r1.wave) == len(r2.wave)
+
+
+def test_mesh_sharded_serving_matches_unsharded(tiny_cfg, ckpt_dir):
+    """shard_map serving over an 8-device mesh produces the same audio as
+    the single-device path (prenet dropout disabled so the decode is
+    deterministic and shard-count-invariant)."""
+    import dataclasses
+
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg.replace(
+        ckpt_dir=ckpt_dir,
+        acoustic=dataclasses.replace(
+            tiny_cfg.acoustic, prenet_dropout_at_inference=False
+        ),
+    )
+    texts = ["một hai ba", "bốn năm", "sáu bảy tám chín", "mười", "xin chào"]
+    plain = Synthesizer(cfg)
+    sharded = Synthesizer(cfg, mesh=make_mesh(8))
+    res_p = plain.synthesize_batch(texts)
+    res_s = sharded.synthesize_batch(texts)
+    assert len(res_s) == len(res_p) == len(texts)
+    for p, s in zip(res_p, res_s):
+        assert s.wave.shape == p.wave.shape
+        np.testing.assert_allclose(s.mel, p.mel, atol=1e-4)
+        np.testing.assert_allclose(s.wave, p.wave, atol=1e-4)
+    # single-utterance path pads the batch to the mesh and still works
+    one = sharded.synthesize("một hai ba")
+    np.testing.assert_allclose(one.wave, res_p[0].wave, atol=1e-4)

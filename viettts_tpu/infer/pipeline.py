@@ -108,7 +108,14 @@ class Synthesizer:
         lexicon_file: Optional[str | Path] = None,
         token_buckets: Sequence[int] = DEFAULT_TOKEN_BUCKETS,
         prenet_seed: int = 42,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis.
+        When given, batched synthesis shards the batch across the mesh with
+        ``shard_map`` — each device runs the full decode+vocode program
+        (including the Pallas kernels) on its batch shard, with no
+        cross-device communication.  Throughput scales with mesh size; the
+        reference has no multi-device inference at all."""
         self.cfg = cfg
         ckpt_dir = Path(cfg.ckpt_dir)
         duration_ckpt = duration_ckpt or ckpt_dir / "duration_latest_ckpt.pickle"
@@ -195,6 +202,60 @@ class Synthesizer:
             )
         else:
             self._vocode = jax.jit(self._generator.apply)
+
+        self.mesh = mesh
+        self._sharded_fns: Dict[int, callable] = {}
+
+    # ------------------------------------------------------------------
+    # mesh-sharded serving
+
+    def _sharded_fn(self, n_frames: int):
+        """Jitted shard_map program for one frame bucket: batch split on
+        the ``data`` axis, params replicated, each device running its own
+        fused decode + vocoder on its shard (SPMD serving; no collective
+        is needed anywhere in the pipeline)."""
+        fn = self._sharded_fns.get(n_frames)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        cfg = self.cfg
+        interpret = jax.default_backend() == "cpu"
+        n_local = self.mesh.shape["data"]
+
+        def per_shard(avars, hvars, toks, durs, lengths, key):
+            # distinct prenet-dropout streams per shard
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            B = toks.shape[0]
+            mb = self._fused_decode_max_batch
+            mel = self._acoustic_model.apply(
+                avars, toks, durs, n_frames, lengths,
+                method=AcousticModel.inference,
+                use_pallas=bool(mb and B <= mb),
+                rngs={"prenet": key},
+            )
+            if cfg.hifigan.fused_inference:
+                from viettts_tpu.models.hifigan import generator_apply_fused
+
+                wave = generator_apply_fused(
+                    cfg.hifigan, hvars["params"], mel, interpret=interpret
+                )
+            else:
+                wave = self._generator.apply(hvars, mel)
+            return mel, wave
+
+        fn = jax.jit(
+            shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                out_specs=(P("data"), P("data")),
+                check_rep=False,
+            )
+        )
+        self._sharded_fns[n_frames] = fn
+        return fn
 
     def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
         B = toks.shape[0]
@@ -335,6 +396,13 @@ class Synthesizer:
         self, token_rows: List[List[int]], silence_duration: float = -1.0
     ) -> List[SynthesisResult]:
         cfg = self.cfg
+        if self.mesh is not None:
+            # pad the batch to a multiple of the mesh so it splits evenly
+            n_dev = self.mesh.shape["data"]
+            pad = (-len(token_rows)) % n_dev
+            token_rows = token_rows + [[SIL_INDEX]] * pad
+        else:
+            pad = 0
         toks, lengths, dur_s = self._durations_for(token_rows, silence_duration)
 
         frames_per_sec = cfg.dsp.sample_rate / cfg.dsp.hop_length
@@ -342,17 +410,29 @@ class Synthesizer:
         total_frames = dur_frames.sum(axis=1)
         n_frames = _bucket_frames(int(np.max(total_frames)) + 1)
 
-        mels = self._decode_mel(
-            self._acoustic_vars,
-            jnp.asarray(toks),
-            jnp.asarray(dur_frames),
-            n_frames,
-            jnp.asarray(lengths),
-            rngs={"prenet": self._prenet_key},
-        )
-        waves = self._vocode(self._hifigan_vars, mels)  # [B, n_frames*256, 1]
+        if self.mesh is not None:
+            mels, waves = self._sharded_fn(n_frames)(
+                self._acoustic_vars,
+                self._hifigan_vars,
+                jnp.asarray(toks),
+                jnp.asarray(dur_frames),
+                jnp.asarray(lengths),
+                self._prenet_key,
+            )
+        else:
+            mels = self._decode_mel(
+                self._acoustic_vars,
+                jnp.asarray(toks),
+                jnp.asarray(dur_frames),
+                n_frames,
+                jnp.asarray(lengths),
+                rngs={"prenet": self._prenet_key},
+            )
+            waves = self._vocode(self._hifigan_vars, mels)  # [B, T*256, 1]
         waves = np.asarray(waves[..., 0])
         mels = np.asarray(mels)
+        if pad:
+            token_rows = token_rows[:-pad]
 
         hop = cfg.dsp.hop_length
         results = []

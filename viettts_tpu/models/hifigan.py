@@ -549,7 +549,60 @@ def generator_adversarial_loss(gen_outs) -> jax.Array:
 
 
 def generator_apply_fused(
-    cfg: HifiGanConfig, params, mel: jax.Array, *, interpret: bool = False
+    cfg: HifiGanConfig,
+    params,
+    mel: jax.Array,
+    *,
+    interpret: bool = False,
+    max_chunk_batch: int = 16,
+    fuse_upsample: bool | None = None,
+) -> jax.Array:
+    """Generator forward with fused Pallas MRF stages; see
+    ``_generator_apply_fused_one``.
+
+    ``fuse_upsample=None`` picks the measured-best route per batch size
+    (v5e, T=768, scripts/tune_vocoder_batch.py): folding the ConvTranspose
+    upsample into the MRF kernel wins at small batch (B=1: 11.6 vs
+    14.7 ms) but is neutral at B=8 (53.9 vs 53.0) and loses beyond
+    (B=64: 433 vs 394 ms), so it is enabled only for B < 8.
+
+    When the ConvT-fused route *is* forced at large batch, the x256
+    stage activations push the whole program past 16 GB HBM (measured
+    15.79 of 15.75 GB at B=64, T=768), so batches above
+    ``max_chunk_batch`` are processed in sub-batches via ``lax.map``
+    (chunk = largest divisor of B <= ``max_chunk_batch``), letting XLA
+    reuse one chunk's buffers across iterations.  The default route
+    never needs this: the unfused program fits HBM at B=64.
+    """
+    B = mel.shape[0]
+    if fuse_upsample is None:
+        fuse_upsample = B < 8
+    if fuse_upsample and B > max_chunk_batch:
+        chunk = max(
+            d for d in range(1, max_chunk_batch + 1) if B % d == 0
+        )
+        if chunk < B:
+            mels = mel.reshape(B // chunk, chunk, *mel.shape[1:])
+            waves = jax.lax.map(
+                lambda m: _generator_apply_fused_one(
+                    cfg, params, m, interpret=interpret,
+                    fuse_upsample=fuse_upsample,
+                ),
+                mels,
+            )
+            return waves.reshape(B, *waves.shape[2:])
+    return _generator_apply_fused_one(
+        cfg, params, mel, interpret=interpret, fuse_upsample=fuse_upsample
+    )
+
+
+def _generator_apply_fused_one(
+    cfg: HifiGanConfig,
+    params,
+    mel: jax.Array,
+    *,
+    interpret: bool = False,
+    fuse_upsample: bool = True,
 ) -> jax.Array:
     """Generator forward with each stage's MRF resblock stack fused into a
     single Pallas kernel (viettts_tpu.ops.mrf) instead of 18 separate XLA
@@ -611,28 +664,29 @@ def generator_apply_fused(
                 if last
                 else None
             )
-            try:
-                # Preferred: the ConvTranspose upsample fused into the same
-                # kernel (the pre-MRF activation never touches HBM).
-                x = fused_mrf(
-                    x,
-                    weights,
-                    cfg.resblock_kernel_sizes,
-                    cfg.resblock_dilation_sizes,
-                    upsample=(
-                        params[f"ups_{i}"]["kernel"],
-                        params[f"ups_{i}"]["bias"],
-                        u,
-                    ),
-                    post=post_w,
-                    interpret=interpret,
-                )
-                post_done = last
-                continue
-            except ValueError:
-                # Shape/packing not supported (odd channel counts or tile
-                # divisibility) — fall back to XLA convT + fused MRF.
-                pass
+            if fuse_upsample:
+                try:
+                    # Preferred: the ConvTranspose upsample fused into the
+                    # same kernel (the pre-MRF activation never touches HBM).
+                    x = fused_mrf(
+                        x,
+                        weights,
+                        cfg.resblock_kernel_sizes,
+                        cfg.resblock_dilation_sizes,
+                        upsample=(
+                            params[f"ups_{i}"]["kernel"],
+                            params[f"ups_{i}"]["bias"],
+                            u,
+                        ),
+                        post=post_w,
+                        interpret=interpret,
+                    )
+                    post_done = last
+                    continue
+                except ValueError:
+                    # Shape/packing not supported (odd channel counts or
+                    # tile divisibility) — fall back to XLA convT + MRF.
+                    pass
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = (
             jax.lax.conv_transpose(

@@ -285,6 +285,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--lexicon-file", type=Path, default=None)
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--batch-window-ms", type=float, default=20.0)
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="shard each batch across this many devices "
+                        "(shard_map data-parallel serving)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile common bucket shapes before listening")
     p.add_argument("--set", action="append", default=[], metavar="K=V")
@@ -293,7 +296,12 @@ def main(argv: Optional[Sequence[str]] = None):
     cfg = apply_overrides(Config(), args.set)
     if args.ckpt_dir:
         cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
-    synth = Synthesizer(cfg, lexicon_file=args.lexicon_file)
+    mesh = None
+    if args.num_devices > 1:
+        from viettts_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+    synth = Synthesizer(cfg, lexicon_file=args.lexicon_file, mesh=mesh)
     if args.warmup:
         synth.warmup()
     server = TTSServer(

@@ -360,27 +360,50 @@ def train(
            ("disc_loss", "gen_loss", "mel_l1")}
     t0 = time.time()
     done = 0
+    # Track the step on the host: fetching ``int(state.step)`` every
+    # iteration is a blocking device->host sync that serializes dispatch
+    # (measured 0.5 vs 8.3 steps/s on the tunneled v5e — the device-side
+    # step cost is 16x smaller than the sync stall it hid behind).
+    step = int(state.step)
     from viettts_tpu.utils.profiling import trace
 
+    def sharded_batches():
+        """Host batches placed on the mesh one step ahead of use, so the
+        host->HBM upload RPC overlaps the previous step's compute
+        (device_put is async; consuming it inline would serialize the
+        transfer with dispatch on the tunneled runtime)."""
+        from collections import deque
+
+        queue = deque()
+        for mel_in, audio in data:
+            queue.append((
+                None if mel_in is None else shard_batch(mel_in, mesh),
+                shard_batch(audio, mesh),
+            ))
+            if len(queue) >= 2:
+                yield queue.popleft()
+
+    batches = sharded_batches()
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
-        while int(state.step) < num_steps:
-            mel_in, audio = next(data)
-            audio = shard_batch(audio, mesh)
-            if mel_in is not None:
-                mel_in = shard_batch(mel_in, mesh)
+        while step < num_steps:
+            mel_in, audio = next(batches)
             state, metrics = step_fn(state, mel_in, audio)
+            step += 1
             for k in avg:
                 avg[k].add(metrics[k])
             if on_metrics is not None:
-                on_metrics(int(state.step), metrics)
+                on_metrics(step, metrics)
             done += 1
-            if int(state.step) % log_every == 0:
+            if step % log_every == 0:
                 sps = done / max(time.time() - t0, 1e-6)
                 print(
-                    f"step {int(state.step):>7d} | disc {avg['disc_loss'].mean():.3f}"
+                    f"step {step:>7d} | disc {avg['disc_loss'].mean():.3f}"
                     f" | gen {avg['gen_loss'].mean():.3f}"
                     f" | mel_l1 {avg['mel_l1'].mean():.4f} | {sps:.2f} steps/s"
                 )
+            # checkpoint on its own cadence — saving fetches the full GAN
+            # state (params + both optimizers, ~1 GB) to the host
+            if step % cfg.train.ckpt_interval == 0:
                 save_vocoder_ckpt(ckpt_path, state)
     save_vocoder_ckpt(ckpt_path, state)
     return state
