@@ -324,3 +324,29 @@ def test_mesh_sharded_serving_matches_unsharded(tiny_cfg, ckpt_dir):
     # single-utterance path pads the batch to the mesh and still works
     one = sharded.synthesize("một hai ba")
     np.testing.assert_allclose(one.wave, res_p[0].wave, atol=1e-4)
+
+
+def test_streaming_matches_synthesize(tiny_cfg, ckpt_dir):
+    """stream() yields per-chunk audio whose concatenation reproduces the
+    one-shot synthesize() output (prenet dropout disabled so both paths
+    are deterministic)."""
+    import dataclasses
+
+    from viettts_tpu.config import DataConfig
+    from viettts_tpu.infer.pipeline import Synthesizer
+
+    cfg = tiny_cfg.replace(
+        ckpt_dir=ckpt_dir,
+        data=DataConfig(max_phoneme_seq_len=16),
+        acoustic=dataclasses.replace(
+            tiny_cfg.acoustic, prenet_dropout_at_inference=False
+        ),
+    )
+    synth = Synthesizer(cfg)
+    text = "một hai ba bốn năm sáu bảy tám chín mười"
+    chunks = list(synth.stream(text))
+    assert len(chunks) >= 2
+    whole = synth.synthesize(text)
+    got = np.concatenate([c.wave for c in chunks])
+    assert got.shape == whole.wave.shape
+    np.testing.assert_allclose(got, whole.wave, atol=1e-4)

@@ -120,3 +120,35 @@ def test_http_server_end_to_end(synth):  # noqa: F811
         assert s["requests"] >= 1
     finally:
         server.shutdown()
+
+
+def test_http_streaming_endpoint(synth):  # noqa: F811
+    """POST /tts/stream returns chunked 16-bit PCM whose sample count
+    matches the one-shot /tts WAV for the same text."""
+    server = TTSServer(synth, host="127.0.0.1", port=0, batch_window_ms=5.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        payload = json.dumps({"text": "một hai ba"}).encode()
+        req = urllib.request.Request(
+            base + "/tts/stream", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["X-Sample-Rate"] == str(
+                synth.cfg.dsp.sample_rate
+            )
+            pcm = r.read()  # urllib reassembles the chunked body
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+        req = urllib.request.Request(
+            base + "/tts", data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            blob = r.read()
+        with wave_mod.open(io.BytesIO(blob)) as w:
+            assert w.getnframes() == len(pcm) // 2
+    finally:
+        server.shutdown()

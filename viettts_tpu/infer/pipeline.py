@@ -206,58 +206,12 @@ class Synthesizer:
         self.mesh = mesh
         self._sharded_fns: Dict[int, callable] = {}
 
-    # ------------------------------------------------------------------
-    # mesh-sharded serving
-
-    def _sharded_fn(self, n_frames: int):
-        """Jitted shard_map program for one frame bucket: batch split on
-        the ``data`` axis, params replicated, each device running its own
-        fused decode + vocoder on its shard (SPMD serving; no collective
-        is needed anywhere in the pipeline)."""
-        fn = self._sharded_fns.get(n_frames)
-        if fn is not None:
-            return fn
-        from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
-
-        cfg = self.cfg
-        interpret = jax.default_backend() == "cpu"
-        n_local = self.mesh.shape["data"]
-
-        def per_shard(avars, hvars, toks, durs, lengths, key):
-            # distinct prenet-dropout streams per shard
-            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-            B = toks.shape[0]
-            mb = self._fused_decode_max_batch
-            mel = self._acoustic_model.apply(
-                avars, toks, durs, n_frames, lengths,
-                method=AcousticModel.inference,
-                use_pallas=bool(mb and B <= mb),
-                rngs={"prenet": key},
-            )
-            if cfg.hifigan.fused_inference:
-                from viettts_tpu.models.hifigan import generator_apply_fused
-
-                wave = generator_apply_fused(
-                    cfg.hifigan, hvars["params"], mel, interpret=interpret
-                )
-            else:
-                wave = self._generator.apply(hvars, mel)
-            return mel, wave
-
-        fn = jax.jit(
-            shard_map(
-                per_shard,
-                mesh=self.mesh,
-                in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
-                out_specs=(P("data"), P("data")),
-                check_rep=False,
-            )
-        )
-        self._sharded_fns[n_frames] = fn
-        return fn
-
     def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
+        """Dispatch-level decode routing (two separately-jitted programs,
+        reused independently across shape buckets — combining decode and
+        vocode into one jitted program was measured compile-bound: the
+        cross-product of (token bucket, frame bucket, batch) shapes each
+        recompiles the whole pipeline)."""
         B = toks.shape[0]
         mb = self._fused_decode_max_batch
         if mb and B <= mb:
@@ -284,6 +238,88 @@ class Synthesizer:
             variables, toks, frames, n_frames, lengths, rngs=rngs
         )
 
+    def _decode_mel_traced(self, avars, toks, durs, n_frames, lengths, key):
+        """Decode routing (fused kernel / fused sub-batches / scan) as
+        traced ops, for embedding inside a larger jitted program.  Batches
+        beyond the fused kernel's VMEM gate run as fused sub-batches —
+        still ~2x faster than one big scan decode (scripts/bench_ar.py:
+        fused B=32 5.8 ms vs scan B=64 25.5 ms per 1024 frames)."""
+        B = toks.shape[0]
+        mb = self._fused_decode_max_batch
+        rngs = {"prenet": key}
+
+        def apply(t, d, l, use_pallas):
+            return self._acoustic_model.apply(
+                avars, t, d, n_frames, l,
+                method=AcousticModel.inference,
+                use_pallas=use_pallas,
+                rngs=rngs,
+            )
+
+        if mb and B <= mb:
+            return apply(toks, durs, lengths, True)
+        if mb and B % mb == 0:
+            return jnp.concatenate(
+                [
+                    apply(
+                        toks[i : i + mb], durs[i : i + mb],
+                        lengths[i : i + mb], True,
+                    )
+                    for i in range(0, B, mb)
+                ],
+                axis=0,
+            )
+        return apply(toks, durs, lengths, False)
+
+    def _vocode_traced(self, hvars, mel, interpret):
+        if self.cfg.hifigan.fused_inference:
+            from viettts_tpu.models.hifigan import generator_apply_fused
+
+            return generator_apply_fused(
+                self.cfg.hifigan, hvars["params"], mel, interpret=interpret
+            )
+        return self._generator.apply(hvars, mel)
+
+    # ------------------------------------------------------------------
+    # mesh-sharded serving
+
+    def _sharded_fn(self, n_frames: int):
+        """Jitted shard_map program for one frame bucket: batch split on
+        the ``data`` axis, params replicated, each device running its own
+        fused decode + vocoder on its shard (SPMD serving; no collective
+        is needed anywhere in the pipeline)."""
+        fn = self._sharded_fns.get(n_frames)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        interpret = jax.default_backend() == "cpu"
+
+        def per_shard(avars, hvars, toks, durs, lengths, key):
+            # distinct prenet-dropout streams per shard
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            mel = self._decode_mel_traced(
+                avars, toks, durs, n_frames, lengths, key
+            )
+            return mel, self._vocode_traced(hvars, mel, interpret)
+
+        fn = jax.jit(
+            shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                out_specs=(P("data"), P("data")),
+                check_vma=False,
+            )
+        )
+        self._sharded_fns[n_frames] = fn
+        return fn
+
     # ------------------------------------------------------------------
 
     def warmup(
@@ -304,11 +340,18 @@ class Synthesizer:
                 durs = jnp.full(
                     (b, self.token_buckets[0]), nf / self.token_buckets[0]
                 )
-                mel = self._decode_mel(
-                    self._acoustic_vars, toks, durs, int(nf), lengths,
-                    rngs={"prenet": self._prenet_key},
-                )
-                jax.block_until_ready(self._vocode(self._hifigan_vars, mel))
+                if self.mesh is not None:
+                    _, wave = self._sharded_fn(int(nf))(
+                        self._acoustic_vars, self._hifigan_vars, toks, durs,
+                        lengths, self._prenet_key,
+                    )
+                else:
+                    mel = self._decode_mel(
+                        self._acoustic_vars, toks, durs, int(nf), lengths,
+                        rngs={"prenet": self._prenet_key},
+                    )
+                    wave = self._vocode(self._hifigan_vars, mel)
+                jax.block_until_ready(wave)
 
     def text_to_token_ids(self, text: str) -> List[int]:
         return text_to_tokens(normalize_text(text), self.lexicon)
@@ -375,6 +418,49 @@ class Synthesizer:
             durations=np.concatenate([p.durations for p in parts]),
         )
 
+    def stream(self, text: str, silence_duration: float = -1.0):
+        """Streaming synthesis: yield one ``SynthesisResult`` per chunk of
+        ``text`` (split at silence boundaries, the same chunking as
+        ``synthesize``), with one-chunk-ahead dispatch — chunk i+1's
+        decode+vocode runs on-device while chunk i's audio is fetched and
+        consumed.  Time-to-first-audio is a single chunk's latency instead
+        of the full text's; concatenating the yielded waves reproduces
+        ``synthesize(text)``.  The reference has no streaming path (its
+        synthesizer.py emits one wav after the whole pipeline)."""
+        from collections import deque
+
+        tokens = self.text_to_token_ids(text)
+        rows = _chunk_token_rows(tokens, self.cfg.data.max_phoneme_seq_len)
+        if self.mesh is not None:
+            # mesh serving shards whole batches; stream chunks one at a
+            # time (each padded to the mesh inside _dispatch_rows)
+            for row in rows:
+                yield self._finalize_rows(
+                    self._dispatch_rows([row], silence_duration)
+                )[0]
+            return
+        # One tiny batched duration call for every chunk up front: the
+        # per-chunk decode dispatch then needs no device fetch, so chunk
+        # i+1's programs queue behind chunk i's instead of the host
+        # blocking on a duration read between them.
+        toks, lengths, dur_s = self._durations_for(rows, silence_duration)
+        handles: deque = deque()
+        for i in range(len(rows)):
+            handles.append(
+                self._dispatch_decode(
+                    [rows[i]], toks[i : i + 1], lengths[i : i + 1],
+                    dur_s[i : i + 1],
+                )
+            )
+            # Chunk 0 is fetched as soon as it is dispatched (minimum
+            # time-to-first-audio); afterwards one chunk stays in flight
+            # so the device computes chunk i+1 while the consumer plays
+            # chunk i.
+            while len(handles) >= (2 if i > 0 else 1):
+                yield self._finalize_rows(handles.popleft())[0]
+        while handles:
+            yield self._finalize_rows(handles.popleft())[0]
+
     def synthesize_batch(
         self, texts: Sequence[str], silence_duration: float = -1.0
     ) -> List[SynthesisResult]:
@@ -395,7 +481,18 @@ class Synthesizer:
     def _synthesize_rows(
         self, token_rows: List[List[int]], silence_duration: float = -1.0
     ) -> List[SynthesisResult]:
-        cfg = self.cfg
+        return self._finalize_rows(
+            self._dispatch_rows(token_rows, silence_duration)
+        )
+
+    def _dispatch_rows(
+        self, token_rows: List[List[int]], silence_duration: float = -1.0
+    ):
+        """Run duration prediction and *dispatch* the decode+vocode device
+        programs without fetching their results: the returned handle can be
+        finalized later, letting the caller overlap this batch's device
+        compute with host work (or the next batch's dispatch) — the basis
+        of ``stream()``."""
         if self.mesh is not None:
             # pad the batch to a multiple of the mesh so it splits evenly
             n_dev = self.mesh.shape["data"]
@@ -404,6 +501,13 @@ class Synthesizer:
         else:
             pad = 0
         toks, lengths, dur_s = self._durations_for(token_rows, silence_duration)
+        return self._dispatch_decode(token_rows, toks, lengths, dur_s, pad)
+
+    def _dispatch_decode(self, token_rows, toks, lengths, dur_s, pad=0):
+        """Device-dispatch decode+vocode for already-predicted durations
+        (host arrays).  Pure async dispatch — no device fetch happens
+        here, so consecutive calls queue on the device back-to-back."""
+        cfg = self.cfg
 
         frames_per_sec = cfg.dsp.sample_rate / cfg.dsp.hop_length
         dur_frames = dur_s * frames_per_sec
@@ -429,10 +533,17 @@ class Synthesizer:
                 rngs={"prenet": self._prenet_key},
             )
             waves = self._vocode(self._hifigan_vars, mels)  # [B, T*256, 1]
-        waves = np.asarray(waves[..., 0])
-        mels = np.asarray(mels)
         if pad:
             token_rows = token_rows[:-pad]
+        return token_rows, mels, waves, dur_s, total_frames
+
+    def _finalize_rows(self, handle) -> List[SynthesisResult]:
+        """Fetch a dispatched batch to the host and trim each row."""
+        token_rows, mels, waves, dur_s, total_frames = handle
+        cfg = self.cfg
+        frames_per_sec = cfg.dsp.sample_rate / cfg.dsp.hop_length
+        waves = np.asarray(waves[..., 0])
+        mels = np.asarray(mels)
 
         hop = cfg.dsp.hop_length
         results = []

@@ -16,6 +16,8 @@ Two layers, separable for testing and embedding:
 * ``TTSServer`` — a stdlib ThreadingHTTPServer front end:
 
     POST /tts         {"text": "...", "silence_duration": -1.0} -> WAV bytes
+    POST /tts/stream  same payload -> chunked 16-bit PCM (one chunk per
+                      text segment; X-Sample-Rate header carries the rate)
     GET  /healthz     -> {"status": "ok"}
     GET  /stats       -> request/batch counters and latency percentiles
 
@@ -85,6 +87,9 @@ class DynamicBatcher:
         self.batch_window_ms = float(batch_window_ms)
         self._queue: deque[_Request] = deque()
         self._lock = threading.Lock()
+        # serializes device dispatch between the batch worker and any
+        # streaming request threads (one chunk / one batch at a time)
+        self.synth_lock = threading.Lock()
         self._wakeup = threading.Event()
         self._shutdown = False
         # stats
@@ -161,9 +166,10 @@ class DynamicBatcher:
                 groups.setdefault(r.silence_duration, []).append(r)
             for sd, reqs in groups.items():
                 try:
-                    results = self._synth.synthesize_batch(
-                        [r.text for r in reqs], silence_duration=sd
-                    )
+                    with self.synth_lock:
+                        results = self._synth.synthesize_batch(
+                            [r.text for r in reqs], silence_duration=sd
+                        )
                     for r, res in zip(reqs, results):
                         r.wave = np.asarray(res.wave)
                 except Exception as e:  # pragma: no cover - defensive
@@ -207,12 +213,16 @@ class TTSServer:
         batch_window_ms: float = 20.0,
     ):
         self.sample_rate = synthesizer.cfg.dsp.sample_rate
+        self._synth = synthesizer
         self.batcher = DynamicBatcher(
             synthesizer, max_batch=max_batch, batch_window_ms=batch_window_ms
         )
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 for chunked transfer on the streaming endpoint
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -233,7 +243,7 @@ class TTSServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/tts":
+                if self.path not in ("/tts", "/tts/stream"):
                     self._json(404, {"error": "not found"})
                     return
                 try:
@@ -243,6 +253,9 @@ class TTSServer:
                     sd = float(payload.get("silence_duration", -1.0))
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
+                    return
+                if self.path == "/tts/stream":
+                    self._stream_pcm(text, sd)
                     return
                 try:
                     wav = outer.batcher.submit(text, sd)
@@ -256,7 +269,43 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _stream_pcm(self, text: str, sd: float):
+                """Chunked-transfer streaming: one 16-bit little-endian
+                mono PCM chunk per synthesized text chunk, produced by
+                ``Synthesizer.stream`` (chunk i+1 decodes on-device while
+                chunk i is on the wire).  Time-to-first-audio is one
+                chunk's latency instead of the whole utterance's."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Sample-Rate", str(outer.sample_rate))
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    for res in outer.stream_results(text, sd):
+                        data = np.clip(np.asarray(res.wave), -1.0, 1.0)
+                        pcm = (data * 32767.0).astype("<i2").tobytes()
+                        if pcm:
+                            self.wfile.write(
+                                f"{len(pcm):X}\r\n".encode() + pcm + b"\r\n"
+                            )
+                finally:
+                    self.wfile.write(b"0\r\n\r\n")
+
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    def stream_results(self, text: str, silence_duration: float = -1.0):
+        """Iterate ``Synthesizer.stream`` with the device serialized
+        against the batch worker: the lock is held per chunk, so batched
+        requests interleave between a long stream's chunks instead of
+        starving behind it."""
+        it = self._synth.stream(text, silence_duration=silence_duration)
+        while True:
+            with self.batcher.synth_lock:
+                try:
+                    res = next(it)
+                except StopIteration:
+                    return
+            yield res
 
     @property
     def port(self) -> int:
