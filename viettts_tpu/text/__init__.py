@@ -4,5 +4,13 @@ from viettts_tpu.text.frontend import (
     text_to_tokens,
     tokens_to_ids,
 )
+from viettts_tpu.text.numbers import expand_numbers, number_to_vietnamese
 
-__all__ = ["normalize_text", "load_lexicon", "text_to_tokens", "tokens_to_ids"]
+__all__ = [
+    "normalize_text",
+    "load_lexicon",
+    "text_to_tokens",
+    "tokens_to_ids",
+    "expand_numbers",
+    "number_to_vietnamese",
+]

@@ -30,9 +30,19 @@ _SIL = SPECIAL_PHONEMES[SIL_INDEX]
 _PHONEME_TO_ID: Dict[str, int] = {p: i for i, p in enumerate(ALL_PHONEMES)}
 
 
-def normalize_text(text: str) -> str:
-    """Normalize raw text: NFKC, lowercase, punctuation -> silence tokens."""
+def normalize_text(text: str, numbers: bool = True) -> str:
+    """Normalize raw text: NFKC, lowercase, punctuation -> silence tokens.
+
+    ``numbers=True`` additionally expands digits into Vietnamese number
+    words (``text/numbers.py``) before the punctuation mapping — the
+    reference silently drops numeric input (its char-level fallback,
+    text2mel.py:47-50, has no digit phonemes).  Digit-free text is
+    normalized identically either way."""
     text = unicodedata.normalize("NFKC", text)
+    if numbers:
+        from viettts_tpu.text.numbers import expand_numbers
+
+        text = expand_numbers(text)
     text = text.lower().strip()
     text = re.sub(r"[\n.,:]+", f" {_SIL} ", text)
     text = text.replace('"', " ")
