@@ -90,21 +90,44 @@ def main(batch=1):
         wav = gen.apply(gvars, mel0 + dep * 0)
         return wav[0, 0, 0]
 
+    # serving path: Pallas-fused AR decode + fused-MRF vocoder
+    @jax.jit
+    def ac_fused_step(dep):
+        mel = am.apply(
+            avars, toks, durations + dep * 0, N_FRAMES, lengths,
+            method=AcousticModel.inference, use_pallas=True,
+            rngs={"prenet": jax.random.PRNGKey(7)},
+        )
+        return mel[0, 0, 0]
+
+    from viettts_tpu.models.hifigan import generator_apply_fused
+
+    @jax.jit
+    def voc_fused_step(dep):
+        wav = generator_apply_fused(cfg.hifigan, gvars["params"], mel0 + dep * 0)
+        return wav[0, 0, 0]
+
     audio_secs = batch * N_FRAMES * cfg.dsp.hop_length / cfg.dsp.sample_rate
+    samples = batch * N_FRAMES * 256
 
     t_dur = amortized(dur_step)
-    print(f"duration fwd      : {t_dur*1e3:8.2f} ms")
+    print(f"duration fwd        : {t_dur*1e3:8.2f} ms")
 
     t_ac = amortized(ac_step)
-    print(f"acoustic AR decode: {t_ac*1e3:8.2f} ms  ({t_ac/N_FRAMES*1e6:.1f} us/frame)")
+    print(f"AR decode (scan)    : {t_ac*1e3:8.2f} ms  ({t_ac/N_FRAMES*1e6:.1f} us/frame)")
+    t_acf = amortized(ac_fused_step)
+    print(f"AR decode (fused)   : {t_acf*1e3:8.2f} ms  ({t_acf/N_FRAMES*1e6:.1f} us/frame)")
 
     t_voc = amortized(voc_step)
-    samples = batch * N_FRAMES * 256
-    print(f"vocoder           : {t_voc*1e3:8.2f} ms  ({samples/t_voc/1e6:.1f} Msamples/s)")
+    print(f"vocoder (XLA)       : {t_voc*1e3:8.2f} ms  ({samples/t_voc/1e6:.1f} Msamples/s)")
+    t_vocf = amortized(voc_fused_step)
+    print(f"vocoder (fused MRF) : {t_vocf*1e3:8.2f} ms  ({samples/t_vocf/1e6:.1f} Msamples/s)")
 
     total = t_dur + t_ac + t_voc
-    print(f"total             : {total*1e3:8.2f} ms  RTF {total/audio_secs:.5f}"
+    totalf = t_dur + t_acf + t_vocf
+    print(f"total (XLA)         : {total*1e3:8.2f} ms  RTF {total/audio_secs:.5f}"
           f"  ({audio_secs:.1f}s audio, batch={batch})")
+    print(f"total (serving path): {totalf*1e3:8.2f} ms  RTF {totalf/audio_secs:.5f}")
 
 
 if __name__ == "__main__":

@@ -152,3 +152,34 @@ def test_http_streaming_endpoint(synth):  # noqa: F811
             assert w.getnframes() == len(pcm) // 2
     finally:
         server.shutdown()
+
+
+def test_http_stream_error_truncates_chunked_body():
+    """A mid-stream synthesis failure must NOT look like a clean end of
+    audio: the chunked body is left unterminated so the client's read
+    raises instead of returning a silently shortened waveform."""
+    import http.client
+    from types import SimpleNamespace
+
+    class _FakeStreamErrSynth(_FakeSynth):
+        def __init__(self):
+            super().__init__()
+            self.cfg = SimpleNamespace(dsp=SimpleNamespace(sample_rate=16000))
+
+        def stream(self, text, silence_duration=-1.0):
+            yield _FakeResult(np.full(1000, 0.1, np.float32))
+            raise RuntimeError("vocoder exploded")
+
+    server = TTSServer(_FakeStreamErrSynth(), host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/tts/stream",
+            data=json.dumps({"text": "x"}).encode(),
+        )
+        with pytest.raises((http.client.IncompleteRead, ConnectionError)):
+            with urllib.request.urlopen(req, timeout=30) as r:
+                r.read()
+    finally:
+        server.shutdown()

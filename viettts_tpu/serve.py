@@ -288,8 +288,14 @@ class TTSServer:
                             self.wfile.write(
                                 f"{len(pcm):X}\r\n".encode() + pcm + b"\r\n"
                             )
-                finally:
-                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:
+                    # Drop the connection WITHOUT the terminating chunk:
+                    # a mid-stream synthesis failure must surface to the
+                    # client as a truncated chunked body, not as a clean,
+                    # silently-shortened audio response.
+                    self.close_connection = True
+                    return
+                self.wfile.write(b"0\r\n\r\n")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
 

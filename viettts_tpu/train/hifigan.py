@@ -382,6 +382,8 @@ def train(
             ))
             if len(queue) >= 2:
                 yield queue.popleft()
+        while queue:  # flush if a finite iterator is exhausted
+            yield queue.popleft()
 
     batches = sharded_batches()
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
