@@ -261,3 +261,28 @@ def test_vocoder_gan_training_mixed_precision(corpus, tmp_path):
     for k in losses[False]:
         a, b = losses[False][k], losses[True][k]
         assert abs(a - b) / max(abs(a), 1e-6) < 0.1, (k, a, b)
+
+
+def test_vocoder_gan_async_checkpoint_and_resume(corpus, tmp_path):
+    """In-loop checkpoints are written by the async path (device-copied
+    state, background write) and training resumes from them."""
+    import dataclasses
+
+    from viettts_tpu.train import hifigan as htrain
+    from viettts_tpu.train.checkpoint import load_checkpoint
+
+    cfg = _tiny_cfg(corpus, tmp_path)
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, num_training_steps=3, ckpt_interval=1
+        )
+    )
+    state = htrain.train(cfg, wav_dir=corpus, num_steps=3, log_every=10)
+    assert int(state.step) == 3
+    ckpt = tmp_path / "hifigan_latest_ckpt.pickle"
+    dic = load_checkpoint(ckpt)
+    assert dic["step"] == 3 and "raw" in dic
+
+    # resume: continues from step 3, not from scratch
+    state2 = htrain.train(cfg, wav_dir=corpus, num_steps=5, log_every=10)
+    assert int(state2.step) == 5

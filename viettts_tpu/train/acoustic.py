@@ -172,8 +172,12 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     val_snapshot = None
     from viettts_tpu.utils.profiling import trace
 
+    step = start
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
-        while int(state.step) < tcfg.num_training_steps:
+        # host-side step counter — see train/duration.py: a per-dispatch
+        # ``int(state.step)`` sync would serialize host batching against
+        # device compute
+        while step < tcfg.num_training_steps:
             batches = stack_steps([next(train_iter) for _ in range(spu)])
             batches = shard_batch(batches, mesh, batch_axis=1)
             state, loss = update(state, batches)

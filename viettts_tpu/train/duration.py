@@ -237,8 +237,13 @@ def train(
     steps_done = 0
     from viettts_tpu.utils.profiling import trace
 
+    step = start
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
-        while int(state.step) < tcfg.num_training_steps:
+        # host-side step counter: fetching ``int(state.step)`` every
+        # dispatch is a blocking device sync that stops the next host
+        # batch from overlapping device compute (same stall measured 16x
+        # in the GAN loop, train/hifigan.py)
+        while step < tcfg.num_training_steps:
             batches = stack_steps([next(train_iter) for _ in range(spu)])
             batches = shard_batch(batches, mesh, batch_axis=1)
             state, loss = update(state, batches)

@@ -385,6 +385,27 @@ def train(
         while queue:  # flush if a finite iterator is exhausted
             yield queue.popleft()
 
+    # Async checkpointing: the ~1 GB GAN state fetch + pickle stalls the
+    # loop for tens of seconds when done inline (measured on the step-1000
+    # save).  Instead the state is device-copied in ONE jitted dispatch —
+    # the copy's buffers are not donated to the next step, so they stay
+    # valid — and a background thread does the device->host fetch and the
+    # atomic file write while training continues.
+    import threading
+
+    copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    ckpt_thread: list = [None]
+
+    def save_async(st: GanState) -> None:
+        if ckpt_thread[0] is not None:
+            ckpt_thread[0].join()  # backpressure: one save in flight
+        snap = copy_state(st)
+        t = threading.Thread(
+            target=save_vocoder_ckpt, args=(ckpt_path, snap), daemon=True
+        )
+        t.start()
+        ckpt_thread[0] = t
+
     batches = sharded_batches()
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
         while step < num_steps:
@@ -403,10 +424,10 @@ def train(
                     f" | gen {avg['gen_loss'].mean():.3f}"
                     f" | mel_l1 {avg['mel_l1'].mean():.4f} | {sps:.2f} steps/s"
                 )
-            # checkpoint on its own cadence — saving fetches the full GAN
-            # state (params + both optimizers, ~1 GB) to the host
             if step % cfg.train.ckpt_interval == 0:
-                save_vocoder_ckpt(ckpt_path, state)
+                save_async(state)
+    if ckpt_thread[0] is not None:
+        ckpt_thread[0].join()
     save_vocoder_ckpt(ckpt_path, state)
     return state
 
