@@ -350,3 +350,36 @@ def test_streaming_matches_synthesize(tiny_cfg, ckpt_dir):
     got = np.concatenate([c.wave for c in chunks])
     assert got.shape == whole.wave.shape
     np.testing.assert_allclose(got, whole.wave, atol=1e-4)
+
+
+def test_cli_stream_matches_one_shot(tiny_cfg, ckpt_dir, tmp_path):
+    """--stream writes the wav progressively; with deterministic decode
+    it matches the one-shot CLI output to int16 rounding."""
+    import wave as wave_mod
+
+    from viettts_tpu import synthesizer as cli
+
+    common = [
+        "--text", "một hai ba bốn năm sáu bảy tám chín mười",
+        "--ckpt-dir", str(ckpt_dir),
+        "--set", "duration.lstm_dim=16",
+        "--set", "acoustic.encoder_dim=16",
+        "--set", "acoustic.decoder_dim=16",
+        "--set", "acoustic.prenet_dim=8",
+        "--set", "acoustic.postnet_dim=8",
+        "--set", "acoustic.prenet_dropout_at_inference=false",
+        "--set", "hifigan.upsample_initial_channel=16",
+        "--set", "hifigan.resblock_kernel_sizes=3",
+        "--set", "data.max_phoneme_seq_len=16",  # force >=2 chunks
+    ]
+    one = tmp_path / "one.wav"
+    streamed = tmp_path / "streamed.wav"
+    assert cli.main(common + ["--output", str(one)]) == 0
+    assert cli.main(common + ["--output", str(streamed), "--stream"]) == 0
+    with wave_mod.open(str(one)) as w1, wave_mod.open(str(streamed)) as w2:
+        assert w1.getnframes() == w2.getnframes()
+        a = np.frombuffer(w1.readframes(w1.getnframes()), "<i2")
+        b = np.frombuffer(w2.readframes(w2.getnframes()), "<i2")
+        # identical float audio up to int16 rounding (batch-size routing
+        # differences shift values by ~1e-7, i.e. at most 1 LSB)
+        assert np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))) <= 1

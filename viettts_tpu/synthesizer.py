@@ -32,6 +32,12 @@ def main(argv=None):
         help="also save the log-mel as .npy (and .png if matplotlib is "
         "available) — the reference's standalone text2mel output",
     )
+    parser.add_argument(
+        "--stream", action="store_true",
+        help="write the wav progressively, one silence-bounded chunk at "
+        "a time (Synthesizer.stream) — audio appears in the file while "
+        "later chunks are still decoding",
+    )
     parser.add_argument("--ckpt-dir", default=None, type=Path)
     parser.add_argument("--hifigan-ckpt", default=None, type=Path)
     parser.add_argument(
@@ -61,9 +67,44 @@ def main(argv=None):
     if args.text:
         text = normalize_text(args.text)
         print("Normalized text input:", text)
-        result = synth.synthesize(args.text, args.silence_duration)
-        print("writing output to file", args.output)
-        write_wav(args.output, result.wave, args.sample_rate)
+        if args.stream:
+            import time
+            import wave as wave_mod
+
+            import numpy as np
+
+            t0 = time.time()
+            mels = []
+            with wave_mod.open(str(args.output), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(args.sample_rate)
+                for i, part in enumerate(
+                    synth.stream(args.text, args.silence_duration)
+                ):
+                    pcm = (
+                        np.clip(part.wave, -1.0, 1.0) * 32767.0
+                    ).astype("<i2")
+                    w.writeframes(pcm.tobytes())
+                    mels.append(part.mel)
+                    print(
+                        f"chunk {i}: {len(part.wave) / args.sample_rate:.2f}s"
+                        f" audio at t={time.time() - t0:.2f}s"
+                    )
+            print("wrote", args.output)
+            result = None
+            if args.save_mel is not None:
+                from viettts_tpu.infer.pipeline import SynthesisResult
+
+                result = SynthesisResult(
+                    wave=np.zeros(0, np.float32),
+                    mel=np.concatenate(mels, axis=0),
+                    durations=np.zeros(0, np.float32),
+                )
+        else:
+            result = synth.synthesize(args.text, args.silence_duration)
+            print("writing output to file", args.output)
+            write_wav(args.output, result.wave, args.sample_rate)
         if args.save_mel is not None:
             import numpy as np
 
