@@ -1,0 +1,55 @@
+"""The ``vietTTS`` drop-in import shim (compat/vietTTS) resolves to
+viettts_tpu implementations.
+
+The shim directory is added to sys.path only inside this test, and every
+``vietTTS*`` module is evicted from sys.modules afterwards so the
+reference-parity tests (which import the REAL package from
+/root/reference) are unaffected by test ordering.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+COMPAT = Path(__file__).resolve().parents[1] / "compat"
+
+
+@pytest.fixture()
+def shim_path():
+    sys.path.insert(0, str(COMPAT))
+    before = set(sys.modules)
+    try:
+        yield
+    finally:
+        sys.path.remove(str(COMPAT))
+        for name in list(sys.modules):
+            if name == "vietTTS" or name.startswith("vietTTS."):
+                del sys.modules[name]
+        # drop anything else the shim imports transitively under its name
+        for name in set(sys.modules) - before:
+            if name.startswith("vietTTS"):
+                sys.modules.pop(name, None)
+
+
+def test_shim_maps_to_viettts_tpu(shim_path):
+    import vietTTS.hifigan.mel2wave as m2w
+    import vietTTS.nat.text2mel as t2m
+    import vietTTS.synthesizer as syn
+
+    from viettts_tpu import infer
+    from viettts_tpu.synthesizer import main as real_main
+    from viettts_tpu.text import normalize_text
+
+    assert syn.main is real_main
+    assert syn.nat_normalize_text is normalize_text
+    # signatures mirror the reference (lexicon_fn positional)
+    import inspect
+
+    assert list(inspect.signature(t2m.text2mel).parameters) == [
+        "text", "lexicon_fn", "silence_duration",
+    ]
+    assert list(inspect.signature(m2w.mel2wave).parameters) == ["mel"]
+    # the underlying implementations are viettts_tpu's cached API
+    assert t2m.text2mel.__module__ == "vietTTS.nat.text2mel"
+    assert m2w._infer is infer
