@@ -173,14 +173,27 @@ def train(cfg: Config = Config(), save_plots: bool = True) -> TrainState:
     from viettts_tpu.utils.profiling import trace
 
     step = start
+
+    def sharded_updates():
+        """One stacked batch uploaded ahead of use — host prep + the
+        ~250 MB multi-step upload overlap device compute (see
+        train/duration.py)."""
+        from collections import deque
+
+        queue = deque()
+        while True:
+            b = stack_steps([next(train_iter) for _ in range(spu)])
+            queue.append(shard_batch(b, mesh, batch_axis=1))
+            if len(queue) >= 2:
+                yield queue.popleft()
+
+    batch_iter = sharded_updates()
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
         # host-side step counter — see train/duration.py: a per-dispatch
         # ``int(state.step)`` sync would serialize host batching against
         # device compute
         while step < tcfg.num_training_steps:
-            batches = stack_steps([next(train_iter) for _ in range(spu)])
-            batches = shard_batch(batches, mesh, batch_axis=1)
-            state, loss = update(state, batches)
+            state, loss = update(state, next(batch_iter))
             train_avg.add(loss)
             steps_done += spu
             step = start + steps_done

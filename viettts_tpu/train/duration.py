@@ -238,15 +238,28 @@ def train(
     from viettts_tpu.utils.profiling import trace
 
     step = start
+
+    def sharded_updates():
+        """Stacked multi-step batches placed on the mesh one dispatch
+        ahead, so host batch prep + upload overlap device compute (same
+        pattern as the GAN loop, train/hifigan.py)."""
+        from collections import deque
+
+        queue = deque()
+        while True:
+            b = stack_steps([next(train_iter) for _ in range(spu)])
+            queue.append(shard_batch(b, mesh, batch_axis=1))
+            if len(queue) >= 2:
+                yield queue.popleft()
+
+    batch_iter = sharded_updates()
     with trace():  # device trace when VIETTTS_PROFILE_DIR is set
         # host-side step counter: fetching ``int(state.step)`` every
         # dispatch is a blocking device sync that stops the next host
         # batch from overlapping device compute (same stall measured 16x
         # in the GAN loop, train/hifigan.py)
         while step < tcfg.num_training_steps:
-            batches = stack_steps([next(train_iter) for _ in range(spu)])
-            batches = shard_batch(batches, mesh, batch_axis=1)
-            state, loss = update(state, batches)
+            state, loss = update(state, next(batch_iter))
             train_avg.add(loss)
             steps_done += spu
             step = start + steps_done
