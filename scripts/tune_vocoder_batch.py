@@ -1,9 +1,11 @@
-"""One-off: find the batch-size crossover for the ConvT-upsample fusion.
+"""Find the best vocoder serving route per batch size: compute dtype
+(f32 vs bf16), ConvT-upsample fusion, and the C=128-stage fused-MRF batch
+cap (``fused_max_batch``; None lifts it — viable since the kernel keeps
+its packed weights VMEM-resident instead of re-streaming them per
+(batch, tile) grid program).
 
-The fused ConvT+MRF Pallas route wins at small batch (B=1: 11.6 vs
-14.7 ms) but loses at B=64 (433 vs 394 ms) and OOMs unchunked; this
-sweeps batch sizes on both routes so `generator_apply_fused` can pick a
-measured threshold.
+Also reports the bf16-vs-f32 quality delta (max |wave err| and mean
+|wave err|) so the serving default is a measured decision.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tune_vocoder_batch.py
 """
@@ -45,23 +47,43 @@ def main():
     )
     params = jax.jit(gen.init)(jax.random.PRNGKey(0), mel64[:1])["params"]
 
-    for batch in (1, 4, 8, 16, 32, 64):
+    # quality: bf16 route vs f32 route on the same params/mel
+    f32 = generator_apply_fused(cfg, params, mel64[:4], fuse_upsample=False)
+    b16 = generator_apply_fused(
+        cfg, params, mel64[:4], fuse_upsample=False,
+        compute_dtype=jnp.bfloat16, fused_max_batch=None,
+    )
+    d = np.abs(np.asarray(f32, np.float32) - np.asarray(b16, np.float32))
+    print(f"bf16 vs f32: max|dwave|={d.max():.3e} mean|dwave|={d.mean():.3e} "
+          f"(wave rms={float(jnp.sqrt(jnp.mean(f32**2))):.3e})")
+
+    variants = [
+        ("f32 noconvT fmb=8 (r2 default)", dict(fuse_upsample=False, fused_max_batch=8)),
+        ("f32 noconvT fmb=None", dict(fuse_upsample=False, fused_max_batch=None)),
+        ("bf16 noconvT fmb=8", dict(fuse_upsample=False, fused_max_batch=8, compute_dtype=jnp.bfloat16)),
+        ("bf16 noconvT fmb=None", dict(fuse_upsample=False, fused_max_batch=None, compute_dtype=jnp.bfloat16)),
+        ("bf16 convT fmb=None", dict(fuse_upsample=True, fused_max_batch=None, compute_dtype=jnp.bfloat16)),
+    ]
+
+    for batch in (1, 8, 16, 32, 64):
         mel = mel64[:batch]
-        row = []
-        for fuse_up in (True, False):
-            # chunk only when the fused-ConvT program would blow HBM
-            chunk = 16 if (fuse_up and batch > 16) else batch
+        audio_s = batch * N_FRAMES * 256 / 16000
+        rows = []
+        for name, kw in variants:
+            kw = dict(kw)
+            if kw.get("fuse_upsample") and batch > 16:
+                kw["max_chunk_batch"] = 16
             try:
                 f = jax.jit(
-                    lambda m, c=chunk, fu=fuse_up: generator_apply_fused(
-                        cfg, params, m, max_chunk_batch=c, fuse_upsample=fu
-                    )
+                    lambda m, kw=kw: generator_apply_fused(cfg, params, m, **kw)
                 )
                 t = amortized(lambda s: f(mel + s * 0.0)[0, 0, 0])
-                row.append(f"{'convT' if fuse_up else 'noconvT':8s} {t * 1e3:8.2f} ms")
+                rows.append(f"{name:32s} {t * 1e3:8.2f} ms ({audio_s / t:7.0f} s-audio/s)")
             except Exception as e:
-                row.append(f"{'convT' if fuse_up else 'noconvT':8s} FAILED {type(e).__name__}")
-        print(f"B={batch:3d}  " + "  |  ".join(row))
+                rows.append(f"{name:32s} FAILED {type(e).__name__}: {str(e)[:120]}")
+        print(f"B={batch:3d}")
+        for r in rows:
+            print("   " + r)
 
 
 if __name__ == "__main__":

@@ -250,3 +250,122 @@ def test_fused_generator_batch_chunking_exact():
     np.testing.assert_allclose(
         np.asarray(auto), np.asarray(whole), atol=2e-5
     )
+
+
+def test_fused_mrf_resblock2_exact():
+    """ResBlock2 (one conv per dilation, w2=None) through the fused kernel
+    matches the XLA formulation (reference hifigan/model.py:54-74)."""
+    rng = np.random.RandomState(5)
+    B, L, C = 1, 512, 64
+    kernel_sizes = (3, 11)
+    dilations = ((1, 3), (2, 6))
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32))
+    weights = []
+    for kk in kernel_sizes:
+        weights.append(
+            (
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.05),
+                None,
+                None,
+            )
+        )
+
+    def lrelu(v):
+        return jnp.where(v > 0, v, 0.1 * v)
+
+    acc = None
+    for blk, kk in enumerate(kernel_sizes):
+        w1, b1, _, _ = weights[blk]
+        r = x
+        for j, d in enumerate(dilations[blk]):
+            p = (kk * d - d) // 2
+            y = lax.conv_general_dilated(
+                lrelu(r), w1[j], (1,), ((p, p),), rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b1[j]
+            r = y + r
+        acc = r if acc is None else acc + r
+    ref = acc / len(kernel_sizes)
+
+    got = fused_mrf(x, weights, kernel_sizes, dilations, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5 * max(scale, 1.0)
+    )
+
+
+def test_fused_generator_resblock2_matches_flax():
+    """A resblock='2' (V3-style) config synthesizes through the default
+    fused serving path and matches the flax Generator."""
+    cfg = HifiGanConfig(
+        resblock="2",
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=256,  # stages: 128, 64 channels
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (2, 6)),
+    )
+    gen = Generator(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(6).randn(2, 16, 80).astype(np.float32)
+    )
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    ref = gen.apply(variables, mel)
+    got = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_mrf_bf16_storage_close():
+    """compute_dtype=bf16 selects bf16 storage for weights + activation
+    I/O; the result stays within bf16 rounding of the f32 kernel."""
+    rng = np.random.RandomState(7)
+    B, L, C = 1, 512, 64
+    kernel_sizes = (3, 7)
+    dilations = ((1, 3), (1, 3))
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32))
+    weights = []
+    for kk in kernel_sizes:
+        weights.append(
+            (
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.05),
+            )
+        )
+    ref = fused_mrf(x, weights, kernel_sizes, dilations, interpret=True)
+    got = fused_mrf(
+        x, weights, kernel_sizes, dilations, interpret=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert got.dtype == jnp.bfloat16
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref),
+        atol=0.02 * max(scale, 1.0),
+    )
+
+
+def test_fused_generator_bf16_close_to_f32():
+    """The bf16-storage fused generator stays within mixed-precision
+    tolerance of the f32 route end to end."""
+    cfg = HifiGanConfig(
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    gen = Generator(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(8).randn(2, 16, 80).astype(np.float32)
+    )
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    ref = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
+    got = generator_apply_fused(
+        cfg, variables["params"], mel, interpret=True,
+        compute_dtype=jnp.bfloat16, fused_max_batch=None,
+    )
+    assert got.dtype == jnp.float32  # waveform is always f32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02)

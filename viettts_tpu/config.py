@@ -153,6 +153,14 @@ class HifiGanConfig:
     # serving: use the Pallas fused-MRF generator path (numerically exact;
     # ~1.6x faster on TPU v5e).
     fused_inference: bool = True
+    # serving compute dtype ("float32" | "bfloat16").  bf16 selects bf16
+    # *storage* for activations and packed weights (halving HBM traffic —
+    # matmul operands are already rounded to bf16 by the MXU at jax's
+    # DEFAULT precision either way).  Measured on v5e (round 3,
+    # scripts/tune_vocoder_batch.py): 1.37x at B=1 (6.97 vs 9.57 ms) and
+    # 1.21x at B=64 (283 vs 343 ms) over the f32 route, with relative
+    # waveform error ~0.7% rms (-43 dB; mean|dwave|/rms(wave)).
+    inference_dtype: str = "bfloat16"
 
     @property
     def total_upsample(self) -> int:

@@ -556,27 +556,40 @@ def generator_apply_fused(
     interpret: bool = False,
     max_chunk_batch: int = 16,
     fuse_upsample: bool | None = None,
+    compute_dtype: Any = jnp.float32,
+    fused_max_batch: int | None | str = "auto",
 ) -> jax.Array:
     """Generator forward with fused Pallas MRF stages; see
     ``_generator_apply_fused_one``.
 
-    ``fuse_upsample=None`` picks the measured-best route per batch size
-    (v5e, T=768, scripts/tune_vocoder_batch.py): folding the ConvTranspose
-    upsample into the MRF kernel wins at small batch (B=1: 11.6 vs
-    14.7 ms) but is neutral at B=8 (53.9 vs 53.0) and loses beyond
-    (B=64: 433 vs 394 ms), so it is enabled only for B < 8.
+    ``fuse_upsample=None`` picks the measured-best route (v5e, T=768,
+    scripts/tune_vocoder_batch.py, round 3 — weight-resident kernels):
+    with bf16 storage the ConvT-fused route wins at EVERY batch size
+    (B=1: 6.97 vs 8.54 ms; B=64: 283 vs 292 ms), so it is always on for
+    bf16.  For f32 the pre-residency measurements stand (fused wins only
+    below B=8), so f32 keeps the batch gate.
 
-    When the ConvT-fused route *is* forced at large batch, the x256
-    stage activations push the whole program past 16 GB HBM (measured
-    15.79 of 15.75 GB at B=64, T=768), so batches above
-    ``max_chunk_batch`` are processed in sub-batches via ``lax.map``
-    (chunk = largest divisor of B <= ``max_chunk_batch``), letting XLA
-    reuse one chunk's buffers across iterations.  The default route
-    never needs this: the unfused program fits HBM at B=64.
+    On the ConvT-fused route the x256-stage activations are large; above
+    ``max_chunk_batch`` the batch is processed in sub-batches via
+    ``lax.map`` (chunk = largest divisor of B <= ``max_chunk_batch``),
+    letting XLA reuse one chunk's buffers across iterations (B=64
+    throughput measured flat in chunk size: 283.1/284.1/285.3 ms at
+    16/32/64).
+
+    ``compute_dtype=jnp.bfloat16`` selects bf16 *storage* for weights and
+    inter-stage activations (matmul operands are rounded to bf16 by the
+    MXU at jax's DEFAULT precision either way; accumulation and the final
+    tanh/waveform stay f32).  ``fused_max_batch`` caps the batch routed
+    to the Pallas MRF at the C=128 stage (None = no cap; the bf16 kernel
+    keeps its packed weights VMEM-resident, so the cap defaults off for
+    bf16).
     """
     B = mel.shape[0]
+    is_bf16 = jnp.dtype(compute_dtype) == jnp.bfloat16
     if fuse_upsample is None:
-        fuse_upsample = B < 8
+        fuse_upsample = True if is_bf16 else B < 8
+    if fused_max_batch == "auto":
+        fused_max_batch = None if is_bf16 else 8
     if fuse_upsample and B > max_chunk_batch:
         chunk = max(
             d for d in range(1, max_chunk_batch + 1) if B % d == 0
@@ -587,12 +600,15 @@ def generator_apply_fused(
                 lambda m: _generator_apply_fused_one(
                     cfg, params, m, interpret=interpret,
                     fuse_upsample=fuse_upsample,
+                    compute_dtype=compute_dtype,
+                    fused_max_batch=fused_max_batch,
                 ),
                 mels,
             )
             return waves.reshape(B, *waves.shape[2:])
     return _generator_apply_fused_one(
-        cfg, params, mel, interpret=interpret, fuse_upsample=fuse_upsample
+        cfg, params, mel, interpret=interpret, fuse_upsample=fuse_upsample,
+        compute_dtype=compute_dtype, fused_max_batch=fused_max_batch,
     )
 
 
@@ -603,6 +619,8 @@ def _generator_apply_fused_one(
     *,
     interpret: bool = False,
     fuse_upsample: bool = True,
+    compute_dtype: Any = jnp.float32,
+    fused_max_batch: int | None = 8,
 ) -> jax.Array:
     """Generator forward with each stage's MRF resblock stack fused into a
     single Pallas kernel (viettts_tpu.ops.mrf) instead of 18 separate XLA
@@ -612,23 +630,27 @@ def _generator_apply_fused_one(
     from viettts_tpu.ops.mrf import fused_mrf, mrf_weights_from_params
 
     num_kernels = len(cfg.resblock_kernel_sizes)
+    cd = jnp.dtype(compute_dtype)
 
     def conv(name, x, k, stride=1, dilation=1, sub=None):
         entry = params[name] if sub is None else params[name][sub]
         p = _same_pad(k, dilation)
         y = jax.lax.conv_general_dilated(
-            x,
-            entry["kernel"],
+            x.astype(cd),
+            entry["kernel"].astype(cd),
             window_strides=(stride,),
             padding=((p, p),),
             rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=cd,
         )
-        return y + entry["bias"]
+        return y + entry["bias"].astype(cd)
 
     def xla_mrf(x, stage):
         """Plain-conv MRF for stages too wide for the fused kernel's VMEM
-        budget (XLA already handles wide channels well)."""
+        budget (XLA already handles wide channels well).  Supports both
+        ResBlock1 (convs1_*/convs2_* pairs) and ResBlock2 (single convs_*
+        per dilation, reference hifigan/model.py:54-74)."""
         acc = None
         for j, (rk, rd) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
@@ -637,9 +659,12 @@ def _generator_apply_fused_one(
             r = x
             for di, d in enumerate(rd):
                 y = jax.nn.leaky_relu(r, LRELU_SLOPE)
-                y = conv(block, y, rk, dilation=d, sub=f"convs1_{di}")
-                y = jax.nn.leaky_relu(y, LRELU_SLOPE)
-                y = conv(block, y, rk, dilation=1, sub=f"convs2_{di}")
+                if cfg.resblock == "1":
+                    y = conv(block, y, rk, dilation=d, sub=f"convs1_{di}")
+                    y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                    y = conv(block, y, rk, dilation=1, sub=f"convs2_{di}")
+                else:
+                    y = conv(block, y, rk, dilation=d, sub=f"convs_{di}")
                 r = y + r
             acc = r if acc is None else acc + r
         return acc / num_kernels
@@ -654,7 +679,17 @@ def _generator_apply_fused_one(
         # Measured on v5e (scripts/profile_vocoder.py): at C=128 the fused
         # kernel wins below batch 8 (2.4 vs 5.6 ms at B=1) but XLA wins at
         # large batch (16.7 vs 17.7 ms at B=8); narrower stages always fuse.
-        use_fused = ch <= 128 and (128 % ch == 0) and (ch < 128 or batch < 8)
+        # ``fused_max_batch=None`` lifts the C=128 cap (weight-resident
+        # kernel, re-measured via scripts/tune_vocoder_batch.py).
+        use_fused = (
+            ch <= 128
+            and (128 % ch == 0)
+            and (
+                ch < 128
+                or fused_max_batch is None
+                or batch < fused_max_batch
+            )
+        )
         if use_fused:
             weights = mrf_weights_from_params(params, i, num_kernels)
             # On the last stage also fuse the generator tail
@@ -680,6 +715,7 @@ def _generator_apply_fused_one(
                         ),
                         post=post_w,
                         interpret=interpret,
+                        compute_dtype=cd,
                     )
                     post_done = last
                     continue
@@ -690,13 +726,14 @@ def _generator_apply_fused_one(
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = (
             jax.lax.conv_transpose(
-                x,
-                params[f"ups_{i}"]["kernel"],
+                x.astype(cd),
+                params[f"ups_{i}"]["kernel"].astype(cd),
                 strides=(u,),
                 padding="SAME",
                 dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=cd,
             )
-            + params[f"ups_{i}"]["bias"]
+            + params[f"ups_{i}"]["bias"].astype(cd)
         )
         if use_fused:
             weights = mrf_weights_from_params(params, i, num_kernels)
@@ -713,24 +750,31 @@ def _generator_apply_fused_one(
                     cfg.resblock_dilation_sizes,
                     post=post_w,
                     interpret=interpret,
+                    compute_dtype=cd,
                 )
                 post_done = last
                 continue
             except ValueError:
-                x = fused_mrf(
-                    x,
-                    weights,
-                    cfg.resblock_kernel_sizes,
-                    cfg.resblock_dilation_sizes,
-                    interpret=interpret,
-                )
+                try:
+                    x = fused_mrf(
+                        x,
+                        weights,
+                        cfg.resblock_kernel_sizes,
+                        cfg.resblock_dilation_sizes,
+                        interpret=interpret,
+                        compute_dtype=cd,
+                    )
+                except ValueError:
+                    # tiny/tile-misaligned shapes (e.g. debug configs):
+                    # plain XLA is both correct and fast enough there
+                    x = xla_mrf(x, i)
         else:
             x = xla_mrf(x, i)
     if post_done:
         return x
     x = jax.nn.leaky_relu(x)
     x = conv("conv_post", x, 7)
-    return jnp.tanh(x)
+    return jnp.tanh(x.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -141,13 +141,19 @@ def _conv_radius_rows(k: int, d: int, g: int) -> int:
     return max(-offsets[0], offsets[-1])
 
 
-def _stack_radius_rows(kernel_sizes, dilations, g: int) -> int:
+def _stack_radius_rows(
+    kernel_sizes, dilations, g: int, two_convs: bool = True
+) -> int:
+    """Worst-case reach (in packed rows) of one resblock's conv chain.
+    ``two_convs=False`` models ResBlock2 (one conv per dilation,
+    reference hifigan/model.py:54-74)."""
     r = 0
     for k, dils in zip(kernel_sizes, dilations):
         blk = 0
         for d in dils:
             blk += _conv_radius_rows(k, d, g)
-            blk += _conv_radius_rows(k, 1, g)
+            if two_convs:
+                blk += _conv_radius_rows(k, 1, g)
         r = max(r, blk)
     return r
 
@@ -170,7 +176,7 @@ def _pick_tile_rows(rows: int, width: int) -> int:
 
 def _mrf_kernel(
     x_ref,  # ANY [B, rows_padded, W] (or [B, rows_in_padded, W_in] fused)
-    a_all_ref,  # ANY [N, W, W] — all packed conv matrices, streamed
+    a_all_ref,  # packed conv matrices [N, W, W]: VMEM when resident, ANY (streamed) otherwise
     bias_ref,  # VMEM [n_convs, W]
     *rest,  # (+ ups_b_ref, ups_bias_ref when fusing) out_ref + scratch
     conv_plan: Tuple,  # ((n_blocks)(per conv: (offsets tuple, a_start)))
@@ -180,7 +186,7 @@ def _mrf_kernel(
     total_rows: int,
     ups_plan=None,  # (offsets tuple, F, P_in, P_in_buf) when fusing convT
     post_plan=None,  # offsets tuple when fusing lrelu+conv_post+tanh
-    compute_dtype=jnp.float32,
+    resident: bool = False,  # A-matrices fully VMEM-resident (no streaming)
 ):
     rest = list(rest)
     ups_b_ref = ups_bias_ref = post_b_ref = post_bias_ref = None
@@ -190,11 +196,15 @@ def _mrf_kernel(
     if post_plan is not None:
         post_b_ref, post_bias_ref = rest[:2]
         rest = rest[2:]
-    out_ref, buf_ref, a_buf_ref, sem_x, sem_a = rest
+    if resident:
+        out_ref, buf_ref, sem_x = rest
+        a_buf_ref = sem_a = None
+    else:
+        out_ref, buf_ref, a_buf_ref, sem_x, sem_a = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     Pp = Tp + 2 * Hp
-    W = a_buf_ref.shape[-1]
+    W = a_all_ref.shape[-1]
 
     if ups_plan is None:
         dma = pltpu.make_async_copy(
@@ -218,11 +228,17 @@ def _mrf_kernel(
 
     # Flat conv order for double-buffered A-matrix streaming: the next
     # conv's packed matrices are prefetched while the current one computes.
+    # In resident mode the whole A stack lives in VMEM for the kernel's
+    # lifetime (copied in once before the first grid program), so every
+    # (batch, tile) program reuses it — streaming re-fetched the identical
+    # weights B*(rows/Tp) times, which dominated HBM traffic at large batch.
+    # conv_plan[blk] is a tuple of residual units; each unit is a chain of
+    # (offsets, a_start) convs (2 per unit for ResBlock1, 1 for ResBlock2).
     flat_plan = [
         conv
         for blk_plan in conv_plan
-        for pair in blk_plan
-        for conv in pair
+        for unit in blk_plan
+        for conv in unit
     ]
 
     def a_copy(idx):
@@ -233,28 +249,29 @@ def _mrf_kernel(
             sem_a.at[idx % 2],
         )
 
-    a_copy(0).start()
+    if not resident:
+        a_copy(0).start()
 
     conv_counter = [0]
 
     def packed_conv(inp, offsets, start):
-        """One packed conv: A matrices were prefetched; kick off the next
-        conv's prefetch, then sum the q-matmuls."""
+        """One packed conv: A matrices were prefetched (or resident); kick
+        off the next conv's prefetch, then sum the q-matmuls."""
         idx = conv_counter[0]
-        if idx + 1 < len(flat_plan):
-            a_copy(idx + 1).start()
-        a_copy(idx).wait()
+        if not resident:
+            if idx + 1 < len(flat_plan):
+                a_copy(idx + 1).start()
+            a_copy(idx).wait()
         slot = idx % 2
         qmin, qmax = offsets[0], offsets[-1]
         left = max(0, -qmin)
         right = max(0, qmax)
-        inp = inp.astype(compute_dtype)
         if left or right:
             xpad = jnp.concatenate(
                 [
-                    jnp.zeros((left, W), compute_dtype),
+                    jnp.zeros((left, W), inp.dtype),
                     inp,
-                    jnp.zeros((right, W), compute_dtype),
+                    jnp.zeros((right, W), inp.dtype),
                 ],
                 axis=0,
             )
@@ -262,9 +279,16 @@ def _mrf_kernel(
             xpad = inp
         y = None
         for qi, q in enumerate(offsets):
+            a_mat = (
+                a_all_ref[start + qi] if resident else a_buf_ref[slot, qi]
+            )
+            # All in-kernel math is f32: at jax's DEFAULT matmul precision
+            # the MXU already rounds f32 dot operands to bf16 single-pass,
+            # so bf16 *compute* buys nothing — bf16 here is a storage
+            # format (A-matrices + activation I/O), cast f32 at the dot.
             contrib = jax.lax.dot_general(
                 jax.lax.slice(xpad, (q - qmin, 0), (q - qmin + Pp, W)),
-                a_buf_ref[slot, qi].astype(compute_dtype),
+                a_mat.astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -274,7 +298,7 @@ def _mrf_kernel(
         return jnp.where(valid, y, 0.0)
 
     if ups_plan is None:
-        x = buf_ref[:]  # [Pp, W]
+        x = buf_ref[:].astype(jnp.float32)  # [Pp, W]
     else:
         # Fused leaky_relu + ConvTranspose: packed matmuls over the input
         # tile, then a [P_in, F*W] -> [Pp, W] row unpack.  Out-of-sequence
@@ -282,12 +306,12 @@ def _mrf_kernel(
         ups_offsets, F, P_in, _ = ups_plan
         omin = ups_offsets[0]
         W_in = buf_ref.shape[-1]
-        xin = _lrelu(buf_ref[:].astype(compute_dtype))
+        xin = _lrelu(buf_ref[:].astype(jnp.float32))
         y = None
         for oi, o in enumerate(ups_offsets):
             contrib = jax.lax.dot_general(
                 jax.lax.slice(xin, (o - omin, 0), (o - omin + P_in, W_in)),
-                ups_b_ref[oi].astype(compute_dtype),
+                ups_b_ref[oi].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -297,15 +321,18 @@ def _mrf_kernel(
     acc = None
     for blk in range(n_blocks):
         r = x
-        for (offsets1, start1), (offsets2, start2) in conv_plan[blk]:
-            y = packed_conv(_lrelu(r), offsets1, start1)
-            y = packed_conv(_lrelu(y), offsets2, start2)
+        for unit in conv_plan[blk]:
+            y = r
+            for offsets, start in unit:
+                y = packed_conv(_lrelu(y), offsets, start)
             r = y + r
         acc = r if acc is None else acc + r
     acc = acc / float(n_blocks)
 
     if post_plan is None:
-        out_ref[0] = jax.lax.slice(acc, (Hp, 0), (Hp + Tp, W))
+        out_ref[0] = jax.lax.slice(acc, (Hp, 0), (Hp + Tp, W)).astype(
+            out_ref.dtype
+        )
         return
 
     # Epilogue: generator tail fused in — leaky_relu (torch-default 0.01
@@ -329,7 +356,7 @@ def _mrf_kernel(
     for qi, q in enumerate(post_plan):
         contrib = jax.lax.dot_general(
             jax.lax.slice(z, (q - qmin, 0), (q - qmin + Pp, W)),
-            post_b_ref[qi].astype(z.dtype),
+            post_b_ref[qi].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -354,6 +381,9 @@ def fused_mrf(
     post: Optional[Tuple[jax.Array, jax.Array]] = None,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    weights_dtype=None,
+    io_dtype=None,
+    resident_budget: int = 10 * 1024 * 1024,
 ) -> jax.Array:
     """Apply the fused (ConvTranspose +) MRF (+ conv_post) stack.
 
@@ -366,10 +396,23 @@ def fused_mrf(
     (leaky_relu(0.01) -> conv_post -> tanh, hifigan/model.py:121-124) is
     fused in as an epilogue and the result is [B, L, C_post] waveform.
 
-    Returns [B, L, C] f32 (or [B, L, C_post] with ``post``).
+    Returns [B, L, C] (or [B, L, C_post] f32 with ``post``).
 
     ``weights[blk] = (W1 [D,k,C,C], B1 [D,C], W2 [D,k,C,C], B2 [D,C])``.
     Requires 128 % C == 0 or C % 128 == 0 (likewise for C_in).
+
+    ``compute_dtype=jnp.bfloat16`` selects bf16 **storage** for the packed
+    A-matrices and the activation I/O (halving their HBM traffic and VMEM
+    footprint); ``weights_dtype`` / ``io_dtype`` override each
+    independently.  In-kernel math stays f32 — at jax's DEFAULT matmul
+    precision the MXU already rounds f32 dot operands to bf16 single-pass
+    (measured bit-identical on v5e), so bf16 arithmetic would add nothing,
+    and the f32 residual chain keeps accumulation exact.  When the packed
+    A-matrix stack fits ``resident_budget`` bytes it is kept fully
+    VMEM-resident for the whole kernel instead of being
+    double-buffer-streamed per conv — streaming re-fetched the identical
+    weights once per (batch, tile) grid program, which at large batch
+    dominated HBM traffic.
     """
     kernel_sizes = tuple(kernel_sizes)
     dilations = tuple(tuple(d) for d in dilations)
@@ -393,16 +436,27 @@ def fused_mrf(
         raise ValueError(f"length {L} not divisible by packing {g}")
     rows = L // g
 
-    # Round the halo up to the f32 sublane tile (8) so DMA'd buffer heights
-    # stay aligned.  The conv_post epilogue (when fused) reads the MRF
-    # output at +-its radius, so its reach joins the stack radius.
-    radius = _stack_radius_rows(kernel_sizes, dilations, g)
+    compute_dtype = jnp.dtype(compute_dtype)
+    default_store = (
+        jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+    )
+    a_dtype = jnp.dtype(weights_dtype or default_store)
+    io_dtype = jnp.dtype(io_dtype or default_store)
+    # Round the halo up to the dtype's sublane tile (8 rows for f32,
+    # 16 for bf16) so DMA'd buffer heights stay aligned.  The conv_post
+    # epilogue (when fused) reads the MRF output at +-its radius, so its
+    # reach joins the stack radius.
+    align = 8 * (4 // jnp.dtype(io_dtype).itemsize)
+    two_convs = weights[0][2] is not None
+    radius = _stack_radius_rows(kernel_sizes, dilations, g, two_convs)
     if post is not None:
         radius += _conv_radius_rows(post[0].shape[0], 1, g)
-    Hp = -(-radius // 8) * 8
+    Hp = -(-radius // align) * align
     Tp = _pick_tile_rows(rows, W)
     if rows % Tp != 0:
         raise ValueError(f"{rows} rows not divisible by tile {Tp}")
+    if Tp % align != 0:
+        raise ValueError(f"tile {Tp} not {align}-row aligned")
 
     # Build the packed conv matrices and the static plan.
     a_parts: List[jax.Array] = []
@@ -415,21 +469,25 @@ def fused_mrf(
         w1, b1, w2, b2 = weights[blk]
         blk_plan = []
         for j, d in enumerate(dilations[blk]):
-            offs1, A1 = _pack_matrices(w1[j], k, d, g, C)
-            offs2, A2 = _pack_matrices(w2[j], k, 1, g, C)
-            a_parts += [A1, A2]
-            biases += [jnp.tile(b1[j].astype(jnp.float32), g),
-                       jnp.tile(b2[j].astype(jnp.float32), g)]
-            blk_plan.append(
-                ((tuple(offs1), a_start),
-                 (tuple(offs2), a_start + len(offs1)))
-            )
-            a_start += len(offs1) + len(offs2)
-            max_nq = max(max_nq, len(offs1), len(offs2))
+            # ResBlock1 units are (dilated conv, dilation-1 conv);
+            # ResBlock2 units (w2 is None) are a single dilated conv.
+            chain = [(w1[j], b1[j], d)]
+            if w2 is not None:
+                chain.append((w2[j], b2[j], 1))
+            unit = []
+            for w_c, b_c, d_c in chain:
+                offs, A = _pack_matrices(w_c, k, d_c, g, C)
+                a_parts.append(A)
+                biases.append(jnp.tile(b_c.astype(jnp.float32), g))
+                unit.append((tuple(offs), a_start))
+                a_start += len(offs)
+                max_nq = max(max_nq, len(offs))
+            blk_plan.append(tuple(unit))
         plan.append(tuple(blk_plan))
 
-    a_all = jnp.concatenate(a_parts, axis=0)  # [N, W, W]
-    bias_all = jnp.stack(biases)  # [n_convs, W]
+    a_all = jnp.concatenate(a_parts, axis=0).astype(a_dtype)  # [N, W, W]
+    bias_all = jnp.stack(biases)  # [n_convs, W] (biases stay f32)
+    resident = a_all.size * a_all.dtype.itemsize <= resident_budget
 
     ups_plan = None
     ups_inputs: Tuple = ()
@@ -453,18 +511,20 @@ def fused_mrf(
         T_in = Tp // F
         H_in = Hp // F
         P_in = T_in + 2 * H_in
-        P_in_buf = -(-(P_in + (omax - omin)) // 8) * 8  # sublane-aligned DMA
+        P_in_buf = (
+            -(-(P_in + (omax - omin)) // align) * align
+        )  # sublane-aligned DMA
         # Pad so the DMA window for tile i starts at padded row i*T_in and
         # the last tile's window stays in bounds.
         l_pad = H_in - omin
         r_pad = max(P_in_buf - T_in - l_pad, 0)
-        xp = x.astype(jnp.float32).reshape(B, rows_in, W_in)
+        xp = x.astype(io_dtype).reshape(B, rows_in, W_in)
         xp = jnp.pad(xp, ((0, 0), (l_pad, r_pad), (0, 0)))
         ups_plan = (tuple(ups_offsets), F, P_in, P_in_buf)
-        ups_inputs = (ups_B, ups_bias_row[None, :])
+        ups_inputs = (ups_B.astype(a_dtype), ups_bias_row[None, :])
         buf_shape = (P_in_buf, W_in)
     else:
-        xp = x.astype(jnp.float32).reshape(B, rows, W)
+        xp = x.astype(io_dtype).reshape(B, rows, W)
         xp = jnp.pad(xp, ((0, 0), (Hp, Hp), (0, 0)))
         buf_shape = (Tp + 2 * Hp, W)
 
@@ -479,7 +539,7 @@ def fused_mrf(
         post_offs, post_A = _pack_matrices(w_p, kp, 1, g, C, C_post)
         post_plan = tuple(post_offs)
         post_inputs = (
-            post_A,
+            post_A.astype(a_dtype),
             jnp.tile(b_p.astype(jnp.float32), g)[None, :],
         )
         out_w = g * C_post
@@ -494,15 +554,38 @@ def fused_mrf(
         total_rows=rows,
         ups_plan=ups_plan,
         post_plan=post_plan,
-        compute_dtype=compute_dtype,
+        resident=resident,
     )
 
+    out_dtype = jnp.float32 if post is not None else io_dtype
+    scratch_shapes = [pltpu.VMEM(buf_shape, io_dtype)]
+    if not resident:
+        scratch_shapes += [
+            pltpu.VMEM((2, max_nq, W, W), a_dtype),
+        ]
+    scratch_shapes += [pltpu.SemaphoreType.DMA]
+    if not resident:
+        scratch_shapes += [pltpu.SemaphoreType.DMA((2,))]
+    # The default XLA scoped-vmem limit (16 MB) is conservative — v5e has
+    # far more physical VMEM — and the resident-A layout deliberately
+    # trades VMEM for the HBM weight re-streaming it eliminates.  Ask for
+    # what the kernel actually needs, with headroom for Mosaic temporaries.
+    try:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    except AttributeError:  # pragma: no cover - older jax
+        compiler_params = pltpu.TPUCompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     out = pl.pallas_call(
         kernel,
         grid=(B, rows // Tp),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                memory_space=pltpu.VMEM if resident else pl.ANY
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -510,13 +593,9 @@ def fused_mrf(
         out_specs=pl.BlockSpec(
             (1, Tp, out_w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, rows, out_w), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM(buf_shape, jnp.float32),
-            pltpu.VMEM((2, max_nq, W, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, rows, out_w), out_dtype),
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(xp, a_all, bias_all, *ups_inputs, *post_inputs)
     return out.reshape(B, L, C_out_final)
@@ -524,14 +603,34 @@ def fused_mrf(
 
 def mrf_weights_from_params(params, stage: int, num_kernels: int):
     """Extract stacked MRF weights for one generator stage from a plain
-    (use_wn=False) Generator params tree."""
+    (use_wn=False) Generator params tree.  Handles both ResBlock1
+    (``convs1_*/convs2_*``) and ResBlock2 (``convs_*``, w2/b2 = None)
+    naming (reference hifigan/model.py:13-74)."""
     out = []
     for j in range(num_kernels):
         block = params[f"resblock_{stage * num_kernels + j}"]
-        n_dil = len([k for k in block if k.startswith("convs1_")])
-        w1 = jnp.stack([block[f"convs1_{i}"]["kernel"] for i in range(n_dil)])
-        b1 = jnp.stack([block[f"convs1_{i}"]["bias"] for i in range(n_dil)])
-        w2 = jnp.stack([block[f"convs2_{i}"]["kernel"] for i in range(n_dil)])
-        b2 = jnp.stack([block[f"convs2_{i}"]["bias"] for i in range(n_dil)])
-        out.append((w1, b1, w2, b2))
+        if any(k.startswith("convs1_") for k in block):
+            n_dil = len([k for k in block if k.startswith("convs1_")])
+            w1 = jnp.stack(
+                [block[f"convs1_{i}"]["kernel"] for i in range(n_dil)]
+            )
+            b1 = jnp.stack(
+                [block[f"convs1_{i}"]["bias"] for i in range(n_dil)]
+            )
+            w2 = jnp.stack(
+                [block[f"convs2_{i}"]["kernel"] for i in range(n_dil)]
+            )
+            b2 = jnp.stack(
+                [block[f"convs2_{i}"]["bias"] for i in range(n_dil)]
+            )
+            out.append((w1, b1, w2, b2))
+        else:
+            n_dil = len([k for k in block if k.startswith("convs_")])
+            w1 = jnp.stack(
+                [block[f"convs_{i}"]["kernel"] for i in range(n_dil)]
+            )
+            b1 = jnp.stack(
+                [block[f"convs_{i}"]["bias"] for i in range(n_dil)]
+            )
+            out.append((w1, b1, None, None))
     return out
