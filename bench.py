@@ -78,9 +78,16 @@ def main():
     if cfg.hifigan.fused_inference and jax.default_backend() != "cpu":
         from viettts_tpu.models.hifigan import generator_apply_fused
 
+        voc_dtype = (
+            jnp.bfloat16
+            if cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
+            else jnp.float32
+        )
         hifi_params = gvars["params"]
         vocode = jax.jit(
-            lambda _v, mel: generator_apply_fused(cfg.hifigan, hifi_params, mel)
+            lambda _v, mel: generator_apply_fused(
+                cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype
+            )
         )
     else:
         vocode = jax.jit(gen.apply)
@@ -151,6 +158,17 @@ def main():
             rngs={"prenet": prenet_key},
         )[0, 0, 0]
     )
+    # Roofline accounting: analytic FLOPs per stage -> achieved TFLOP/s
+    # and fraction of chip peak (bf16 peak is the honest roofline — jax's
+    # DEFAULT matmul precision runs f32 dots as single-pass bf16 on the
+    # MXU; see viettts_tpu/utils/flops.py).
+    from viettts_tpu.utils.flops import (
+        acoustic_decode_flops,
+        generator_flops,
+        mfu_report,
+        pipeline_flops,
+    )
+
     details = {
         "end_to_end_rtf": rtf,
         "vocoder_samples_per_sec": BATCH * N_FRAMES * 256 / t_voc,
@@ -158,6 +176,17 @@ def main():
         "batch": BATCH,
         "n_frames": N_FRAMES,
         "backend": jax.default_backend(),
+        "mfu": {
+            "pipeline": mfu_report(
+                pipeline_flops(cfg, N_TOKENS, N_FRAMES, BATCH), elapsed
+            ),
+            "vocoder": mfu_report(
+                generator_flops(cfg, N_FRAMES, BATCH), t_voc
+            ),
+            "acoustic": mfu_report(
+                acoustic_decode_flops(cfg, N_TOKENS, N_FRAMES, BATCH), t_ac
+            ),
+        },
     }
     try:
         from pathlib import Path

@@ -76,9 +76,16 @@ def main():
     mel0 = jnp.zeros((BATCH, N_FRAMES, 80))
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
     hifi_params = gvars["params"]
+    voc_dtype = (
+        jnp.bfloat16
+        if cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
+        else jnp.float32
+    )
     if jax.default_backend() != "cpu":
         vocode = jax.jit(
-            lambda mel: generator_apply_fused(cfg.hifigan, hifi_params, mel)
+            lambda mel: generator_apply_fused(
+                cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype
+            )
         )
     else:
         vocode = jax.jit(lambda mel: gen.apply(gvars, mel))
@@ -100,6 +107,12 @@ def main():
     t_full = amortized(full)
     t_voc = amortized(voc_only)
 
+    from viettts_tpu.utils.flops import (
+        generator_flops,
+        mfu_report,
+        pipeline_flops,
+    )
+
     results = {
         "batch": BATCH,
         "frames_per_utt": N_FRAMES,
@@ -109,6 +122,15 @@ def main():
         "full_pipeline_audio_secs_per_sec": audio_secs / t_full,
         "vocoder_ms": t_voc * 1e3,
         "vocoder_samples_per_sec": BATCH * N_FRAMES * 256 / t_voc,
+        "vocoder_dtype": str(np.dtype(voc_dtype)),
+        "mfu": {
+            "pipeline": mfu_report(
+                pipeline_flops(cfg, N_TOKENS, N_FRAMES, BATCH), t_full
+            ),
+            "vocoder": mfu_report(
+                generator_flops(cfg, N_FRAMES, BATCH), t_voc
+            ),
+        },
         "backend": jax.default_backend(),
     }
     out = Path("benchmarks")

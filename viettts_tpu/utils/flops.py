@@ -1,0 +1,140 @@
+"""Analytic FLOP counts for the three models — the roofline side of the
+benchmark harness.
+
+XLA's ``compiled.cost_analysis()`` cannot see inside Pallas custom calls
+(the fused MRF / AR-decoder kernels report ~0 flops), so the benchmark
+suite counts multiply-accumulates analytically from the model configs
+(1 MAC = 2 FLOPs) and reports achieved TFLOP/s and model FLOPs
+utilization (MFU) against the chip peaks.
+
+Peaks (TPU v5e, per chip): 197 TFLOP/s bf16, 49.2 TFLOP/s f32.  At jax's
+DEFAULT matmul precision the MXU runs f32 matmuls as single-pass bf16
+(measured bit-identical on this chip — see ops/mrf.py), so **bf16 peak is
+the honest roofline** for every path in this framework; the f32 figure is
+reported for context.
+
+Element-wise work (activations, norms, residual adds) is excluded — it
+runs on the VPU and is not the resource MFU measures.
+"""
+
+from __future__ import annotations
+
+V5E_BF16_PEAK = 197e12
+V5E_F32_PEAK = 49.2e12
+
+PEAKS = {
+    "tpu v5 lite": (V5E_BF16_PEAK, V5E_F32_PEAK),
+    "tpu v5e": (V5E_BF16_PEAK, V5E_F32_PEAK),
+}
+
+
+def device_peaks(device=None):
+    """(bf16_peak, f32_peak) FLOP/s for the given (default: first) device;
+    falls back to v5e numbers on unknown platforms."""
+    import jax
+
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peaks in PEAKS.items():
+        if key in kind:
+            return peaks
+    return V5E_BF16_PEAK, V5E_F32_PEAK
+
+
+def _conv1d(L, c_in, c_out, k, batch=1):
+    return 2 * batch * L * c_in * c_out * k
+
+
+def _dense(n, d_in, d_out, batch=1):
+    return 2 * batch * n * d_in * d_out
+
+
+def _lstm_steps(n, d_in, hidden, batch=1):
+    # 4 gates, input + recurrent matmuls per step
+    return 2 * batch * n * 4 * hidden * (d_in + hidden)
+
+
+def _encoder_flops(n_tokens, dim, batch=1):
+    """TokenEncoder: 3 x Conv1D(k=3) + bi-LSTM (hidden=dim each way).
+    The embedding lookup is a gather (no MACs)."""
+    f = 3 * _conv1d(n_tokens, dim, dim, 3, batch)
+    f += 2 * _lstm_steps(n_tokens, dim, dim, batch)  # fwd + bwd
+    return f
+
+
+def duration_flops(cfg, n_tokens, batch=1):
+    """DurationModel: encoder + Dense(lstm_dim) + Dense(1)
+    (models/duration.py; reference model.py:50-70)."""
+    d = cfg.duration.lstm_dim
+    f = _encoder_flops(n_tokens, d, batch)
+    f += _dense(n_tokens, 2 * d, d, batch)
+    f += _dense(n_tokens, d, 1, batch)
+    return f
+
+
+def acoustic_decode_flops(cfg, n_tokens, n_frames, batch=1):
+    """AcousticModel.inference: encoder + Gaussian upsampling + per-frame
+    AR decode (prenet, 2 skip-connected LSTMs, mel projection) + postnet
+    (models/acoustic.py; reference model.py:73-144)."""
+    a = cfg.acoustic
+    enc_out = 2 * a.encoder_dim
+    f = _encoder_flops(n_tokens, a.encoder_dim, batch)
+    # upsampling attention: weights [L, T] plus context einsum [L,T]x[T,D]
+    f += 2 * batch * n_frames * n_tokens * (1 + enc_out)
+    # prenet (2 dense, no bias)
+    f += _dense(n_frames, a.mel_dim, a.prenet_dim, batch)
+    f += _dense(n_frames, a.prenet_dim, a.prenet_dim, batch)
+    # decoder LSTMs: layer 1 eats [prenet, cond], layer 2 [h1, cond] (skip)
+    f += _lstm_steps(n_frames, a.prenet_dim + enc_out, a.decoder_dim, batch)
+    f += _lstm_steps(n_frames, a.decoder_dim + enc_out, a.decoder_dim, batch)
+    # mel projection from [h2, cond]
+    f += _dense(n_frames, a.decoder_dim + enc_out, a.mel_dim, batch)
+    # postnet: mel->P, 3 x P->P, P->mel, k=5
+    f += _conv1d(n_frames, a.mel_dim, a.postnet_dim, 5, batch)
+    f += 3 * _conv1d(n_frames, a.postnet_dim, a.postnet_dim, 5, batch)
+    f += _conv1d(n_frames, a.postnet_dim, a.mel_dim, 5, batch)
+    return f
+
+
+def generator_flops(cfg, n_frames, batch=1):
+    """HiFi-GAN generator (models/hifigan.py; reference
+    hifigan/model.py:77-125): conv_pre + per-stage ConvTranspose + MRF +
+    conv_post.  Handles both resblock variants."""
+    h = cfg if hasattr(cfg, "upsample_rates") else cfg.hifigan
+    C0 = h.upsample_initial_channel
+    L = n_frames
+    f = _conv1d(L, h.mel_dim, C0, 7, batch)
+    c_in = C0
+    for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        c_out = C0 // (2 ** (i + 1))
+        L *= u
+        # ConvTranspose MACs = L_out * c_in * c_out * k / u (each output
+        # sample sees ~k/u taps of the undilated input)
+        f += 2 * batch * L * c_in * c_out * (k / u)
+        convs_per_dil = 2 if h.resblock == "1" else 1
+        for rk, rd in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+            f += len(rd) * convs_per_dil * _conv1d(L, c_out, c_out, rk, batch)
+        c_in = c_out
+    f += _conv1d(L, c_in, 1, 7, batch)
+    return int(f)
+
+
+def pipeline_flops(cfg, n_tokens, n_frames, batch=1):
+    """Whole synthesis pipeline (duration -> acoustic decode -> vocoder)."""
+    return (
+        duration_flops(cfg, n_tokens, batch)
+        + acoustic_decode_flops(cfg, n_tokens, n_frames, batch)
+        + generator_flops(cfg, n_frames, batch)
+    )
+
+
+def mfu_report(flops: float, seconds: float, device=None) -> dict:
+    """Achieved TFLOP/s and fraction-of-peak for one measured stage."""
+    bf16_peak, f32_peak = device_peaks(device)
+    achieved = flops / max(seconds, 1e-12)
+    return {
+        "flops": int(flops),
+        "tflops_per_sec": achieved / 1e12,
+        "mfu_bf16_peak": achieved / bf16_peak,
+        "mfu_f32_peak": achieved / f32_peak,
+    }
