@@ -101,8 +101,9 @@ def main():
     sentence = "hôm qua em tới trường mẹ dắt tay từng bước. "
     text = sentence * 12
 
-    # warm both paths (compile)
+    # warm both paths (compile), both lead settings
     list(synth.stream(text))
+    list(synth.stream(text, lead_tokens=0))
     synth.synthesize(text)
 
     def one_shot():
@@ -110,24 +111,31 @@ def main():
         r = synth.synthesize(text)
         return time.perf_counter() - t0, len(r.wave)
 
-    def streamed():
+    def streamed(lead_tokens):
         t0 = time.perf_counter()
         first = None
         total = 0
-        for res in synth.stream(text):
+        for res in synth.stream(text, lead_tokens=lead_tokens):
             if first is None:
                 first = time.perf_counter() - t0
             total += len(res.wave)
         return first, time.perf_counter() - t0, total
 
     full_s, n_samples = min(one_shot() for _ in range(3))
-    first_s, stream_total_s, n_stream = min(streamed() for _ in range(3))
+    # lead chunk (default 64 tokens): chunk-0 decode+vocode is ~4x smaller
+    first_s, stream_total_s, n_stream = min(
+        streamed(64) for _ in range(3)
+    )
+    # full-size chunk 0 (the round-2 behavior) for comparison
+    first_full, _, _ = min(streamed(0) for _ in range(3))
     sr = cfg.dsp.sample_rate
     result = {
         "text_tokens": len(synth.text_to_token_ids(text)),
         "audio_seconds": n_samples / sr,
         "one_shot_latency_s": round(full_s, 4),
         "stream_first_chunk_s": round(first_s, 4),
+        "stream_first_chunk_full_lead_s": round(first_full, 4),
+        "lead_chunk_ttfa_speedup": round(first_full / first_s, 2),
         "stream_total_s": round(stream_total_s, 4),
         "first_audio_speedup": round(full_s / first_s, 2),
         "samples_match": bool(n_stream == n_samples),

@@ -226,6 +226,18 @@ def test_chunk_token_rows_unit():
     assert len(rows2) > 1
     assert all(len(r) <= 16 for r in rows2)
     assert all(r[0] == SIL_INDEX and r[-1] == SIL_INDEX for r in rows2)
+    # lead chunk: chunk 0 capped tighter (streaming TTFA), rest at the cap,
+    # same lossless sil-sharing reconstruction
+    rows3 = _chunk_token_rows(toks, 30, first_chunk_tokens=16)
+    assert len(rows3[0]) <= 16
+    assert all(len(r) <= 30 for r in rows3[1:])
+    rebuilt3 = list(rows3[0])
+    for r in rows3[1:]:
+        assert rebuilt3[-1] == r[0] == SIL_INDEX
+        rebuilt3 += r[1:]
+    assert rebuilt3 == toks
+    # lead larger than the cap is clamped to the cap
+    assert _chunk_token_rows(toks, 30, first_chunk_tokens=100) == rows
 
 
 def test_long_form_chunked_synthesis(tiny_cfg, ckpt_dir):
@@ -383,3 +395,39 @@ def test_cli_stream_matches_one_shot(tiny_cfg, ckpt_dir, tmp_path):
         # identical float audio up to int16 rounding (batch-size routing
         # differences shift values by ~1e-7, i.e. at most 1 LSB)
         assert np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))) <= 1
+
+
+def test_warmup_pads_batch_to_mesh(tiny_cfg, ckpt_dir):
+    """warmup() with a mesh rounds batch sizes up to the data axis (the
+    shapes serving actually dispatches) — `--num-devices 8 --warmup` used
+    to crash on a batch of 1 that shard_map can't split."""
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
+    synth = Synthesizer(cfg, mesh=make_mesh(8), token_buckets=(8, 16))
+    # must not raise; batch 1 -> 8, 8 stays 8 (deduped)
+    synth.warmup(batch_sizes=(1, 8))
+    # warmed program serves a single text (padded to the mesh internally)
+    res = synth.synthesize("một hai ba")
+    assert len(res.wave) > 0
+
+
+def test_warmup_covers_all_token_buckets(tiny_cfg, ckpt_dir):
+    """warmup() precompiles every configured token bucket by default, so
+    real traffic beyond the smallest bucket doesn't pay first-request
+    compiles (round-2 warmup only touched token_buckets[0])."""
+    from viettts_tpu.infer.pipeline import Synthesizer
+
+    cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
+    synth = Synthesizer(cfg, token_buckets=(8, 16))
+    seen = []
+    orig = synth._decode_mel
+
+    def spy(variables, toks, frames, n_frames, lengths, rngs):
+        seen.append(toks.shape)
+        return orig(variables, toks, frames, n_frames, lengths, rngs)
+
+    synth._decode_mel = spy
+    synth.warmup()
+    assert {s[1] for s in seen} == {8, 16}

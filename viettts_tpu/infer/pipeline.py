@@ -55,7 +55,33 @@ def _bucket_frames(n: int, bucket: int = FRAME_BUCKET) -> int:
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
-def _chunk_token_rows(tokens: List[int], max_tokens: int) -> List[List[int]]:
+def _cut_once(rest: List[int], limit: int) -> Tuple[List[int], List[int]]:
+    """Cut one chunk of at most ``limit`` tokens off the front of ``rest``,
+    preferring silence boundaries, then word-end boundaries.  Returns
+    (chunk, remainder); the remainder is empty when everything fit."""
+    if len(rest) <= limit:
+        return rest, []
+    cut = None
+    for i in range(limit - 1, 0, -1):
+        if rest[i] == SIL_INDEX:
+            cut = i
+            break
+    if cut is not None:
+        return rest[: cut + 1], rest[cut:]  # shared sil leads the remainder
+    for i in range(limit - 2, 0, -1):
+        if rest[i] == WORD_END_INDEX:
+            cut = i
+            break
+    if cut is None:  # pathological: no boundary at all — hard cut
+        cut = limit - 2
+    return rest[: cut + 1] + [SIL_INDEX], [SIL_INDEX] + rest[cut + 1 :]
+
+
+def _chunk_token_rows(
+    tokens: List[int],
+    max_tokens: int,
+    first_chunk_tokens: Optional[int] = None,
+) -> List[List[int]]:
     """Split a token sequence into chunks of at most ``max_tokens``,
     preferring silence boundaries, then word-end boundaries.
 
@@ -64,29 +90,20 @@ def _chunk_token_rows(tokens: List[int], max_tokens: int) -> List[List[int]]:
     ends with it and the remainder starts with it; since each row's
     trailing-silence audio is trimmed, the pause at a junction comes from
     the next chunk's leading sil exactly once.
+
+    ``first_chunk_tokens`` caps chunk 0 tighter than the rest — streaming
+    uses a small lead chunk so time-to-first-audio pays for ~a sentence of
+    decode instead of the full ``max_tokens`` cap.
     """
     chunks: List[List[int]] = []
     rest = list(tokens)
-    while len(rest) > max_tokens:
-        cut = None
-        for i in range(max_tokens - 1, 0, -1):
-            if rest[i] == SIL_INDEX:
-                cut = i
-                break
-        if cut is not None:
-            chunks.append(rest[: cut + 1])
-            rest = rest[cut:]  # shared sil leads the remainder
-            continue
-        for i in range(max_tokens - 2, 0, -1):
-            if rest[i] == WORD_END_INDEX:
-                cut = i
-                break
-        if cut is None:  # pathological: no boundary at all — hard cut
-            cut = max_tokens - 2
-        chunks.append(rest[: cut + 1] + [SIL_INDEX])
-        rest = [SIL_INDEX] + rest[cut + 1 :]
-    chunks.append(rest)
-    return chunks
+    limit = min(first_chunk_tokens or max_tokens, max_tokens)
+    while True:
+        chunk, rest = _cut_once(rest, limit)
+        chunks.append(chunk)
+        if not rest:
+            return chunks
+        limit = max_tokens
 
 
 @dataclasses.dataclass
@@ -140,7 +157,12 @@ class Synthesizer:
 
         self._duration_model = DurationModel(cfg.duration)
         self._acoustic_model = AcousticModel(cfg.acoustic)
-        self._generator = Generator(cfg.hifigan)
+        self._vocoder_dtype = (
+            jnp.bfloat16
+            if cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
+            else jnp.float32
+        )
+        self._generator = Generator(cfg.hifigan, dtype=self._vocoder_dtype)
 
         self.lexicon = (
             load_lexicon(lexicon_file) if lexicon_file is not None else None
@@ -197,7 +219,8 @@ class Synthesizer:
             hifi_params = self._hifigan_vars["params"]
             self._vocode = jax.jit(
                 lambda _vars, mel: generator_apply_fused(
-                    cfg.hifigan, hifi_params, mel, interpret=interpret
+                    cfg.hifigan, hifi_params, mel, interpret=interpret,
+                    compute_dtype=self._vocoder_dtype,
                 )
             )
         else:
@@ -276,7 +299,8 @@ class Synthesizer:
             from viettts_tpu.models.hifigan import generator_apply_fused
 
             return generator_apply_fused(
-                self.cfg.hifigan, hvars["params"], mel, interpret=interpret
+                self.cfg.hifigan, hvars["params"], mel, interpret=interpret,
+                compute_dtype=self._vocoder_dtype,
             )
         return self._generator.apply(hvars, mel)
 
@@ -326,32 +350,45 @@ class Synthesizer:
         self,
         frame_buckets: Sequence[int] = (FRAME_BUCKET,),
         batch_sizes: Sequence[int] = (1,),
+        token_buckets: Optional[Sequence[int]] = None,
     ) -> None:
         """Pre-compile the decode + vocoder programs for the given frame
-        buckets and batch sizes, so first real requests don't pay XLA
-        compilation latency."""
+        buckets, batch sizes and token buckets (default: every configured
+        token bucket), so first real requests don't pay XLA compilation
+        latency.  With a mesh, batch sizes are rounded up to a multiple of
+        the ``data`` axis — the same padding ``_dispatch_rows`` applies —
+        so the warmed shapes are exactly the shapes serving dispatches."""
+        token_buckets = tuple(
+            token_buckets if token_buckets is not None else self.token_buckets
+        )
+        sizes = []
         for b in batch_sizes:
-            toks = jnp.zeros((b, self.token_buckets[0]), jnp.int32)
-            lengths = jnp.full((b,), 2, jnp.int32)
-            self._predict_durations(
-                self._duration_vars, DurationBatch(toks, lengths, None)
-            )
-            for nf in frame_buckets:
-                durs = jnp.full(
-                    (b, self.token_buckets[0]), nf / self.token_buckets[0]
+            if self.mesh is not None:
+                n_dev = self.mesh.shape["data"]
+                b = -(-b // n_dev) * n_dev
+            if b not in sizes:
+                sizes.append(b)
+        for b in sizes:
+            for tb in token_buckets:
+                toks = jnp.zeros((b, tb), jnp.int32)
+                lengths = jnp.full((b,), 2, jnp.int32)
+                self._predict_durations(
+                    self._duration_vars, DurationBatch(toks, lengths, None)
                 )
-                if self.mesh is not None:
-                    _, wave = self._sharded_fn(int(nf))(
-                        self._acoustic_vars, self._hifigan_vars, toks, durs,
-                        lengths, self._prenet_key,
-                    )
-                else:
-                    mel = self._decode_mel(
-                        self._acoustic_vars, toks, durs, int(nf), lengths,
-                        rngs={"prenet": self._prenet_key},
-                    )
-                    wave = self._vocode(self._hifigan_vars, mel)
-                jax.block_until_ready(wave)
+                for nf in frame_buckets:
+                    durs = jnp.full((b, tb), nf / tb)
+                    if self.mesh is not None:
+                        _, wave = self._sharded_fn(int(nf))(
+                            self._acoustic_vars, self._hifigan_vars, toks,
+                            durs, lengths, self._prenet_key,
+                        )
+                    else:
+                        mel = self._decode_mel(
+                            self._acoustic_vars, toks, durs, int(nf), lengths,
+                            rngs={"prenet": self._prenet_key},
+                        )
+                        wave = self._vocode(self._hifigan_vars, mel)
+                    jax.block_until_ready(wave)
 
     def text_to_token_ids(self, text: str) -> List[int]:
         return text_to_tokens(normalize_text(text), self.lexicon)
@@ -418,19 +455,35 @@ class Synthesizer:
             durations=np.concatenate([p.durations for p in parts]),
         )
 
-    def stream(self, text: str, silence_duration: float = -1.0):
+    def stream(
+        self,
+        text: str,
+        silence_duration: float = -1.0,
+        lead_tokens: int = 64,
+    ):
         """Streaming synthesis: yield one ``SynthesisResult`` per chunk of
         ``text`` (split at silence boundaries, the same chunking as
         ``synthesize``), with one-chunk-ahead dispatch — chunk i+1's
         decode+vocode runs on-device while chunk i's audio is fetched and
-        consumed.  Time-to-first-audio is a single chunk's latency instead
-        of the full text's; concatenating the yielded waves reproduces
-        ``synthesize(text)``.  The reference has no streaming path (its
+        consumed.
+
+        Chunk 0 is cut at ``lead_tokens`` (default 64: roughly one
+        sentence) instead of the full ``max_phoneme_seq_len`` cap, so
+        time-to-first-audio pays for a small decode+vocode program — about
+        4x less device compute than a full 256-token chunk (0 disables
+        the lead chunk).  Concatenating the yielded waves reproduces
+        ``synthesize(text)`` up to prenet-dropout rng (bit-exact with
+        ``acoustic.prenet_dropout_at_inference=False``) and ~1-LSB batch
+        routing differences.  The reference has no streaming path (its
         synthesizer.py emits one wav after the whole pipeline)."""
         from collections import deque
 
         tokens = self.text_to_token_ids(text)
-        rows = _chunk_token_rows(tokens, self.cfg.data.max_phoneme_seq_len)
+        rows = _chunk_token_rows(
+            tokens,
+            self.cfg.data.max_phoneme_seq_len,
+            first_chunk_tokens=lead_tokens or None,
+        )
         if self.mesh is not None:
             # mesh serving shards whole batches; stream chunks one at a
             # time (each padded to the mesh inside _dispatch_rows)
