@@ -90,3 +90,103 @@ def test_full_lifecycle(corpus, tmp_path):
     assert len(result.wave) > 0
     assert np.all(np.isfinite(result.wave))
     assert np.all(np.isfinite(result.mel))
+
+
+def test_vocoder_kill_and_resume(corpus, tmp_path):
+    """Kill-and-resume fidelity for the GAN trainer: the resumed run picks
+    up step/rng from the checkpoint and its crop stream continues rather
+    than replaying the fresh run's first batches."""
+    import jax.numpy as jnp
+
+    from viettts_tpu.train import hifigan as htrain
+
+    cfg = Config(
+        hifigan=HifiGanConfig(
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+            segment_size=512,
+            mpd_periods=(2,),
+            mpd_base_channels=4,
+            msd_scales=1,
+            msd_base_channels=16,
+        ),
+        train=TrainConfig(
+            batch_size=4, num_training_steps=2, val_interval=1,
+            ckpt_interval=1,
+        ),
+        ckpt_dir=tmp_path,
+        data_dir=corpus,
+    )
+
+    seen = []
+    state1 = htrain.train(
+        cfg, wav_dir=corpus, num_steps=2,
+        on_metrics=lambda step, m: seen.append(("fresh", step)),
+    )
+    assert int(state1.step) == 2
+
+    # resumed run: restores step 2 and trains 2 more
+    resumed_metrics = []
+    state2 = htrain.train(
+        cfg, wav_dir=corpus, num_steps=4,
+        on_metrics=lambda step, m: resumed_metrics.append(step),
+    )
+    assert int(state2.step) == 4
+    assert resumed_metrics == [3, 4]  # continued, not restarted
+
+    # rng restored from the checkpoint, not re-seeded
+    assert np.array_equal(np.asarray(state2.rng), np.asarray(state1.rng))
+
+    # crop stream continues: the resumed run's first batch differs from
+    # the fresh run's first batch (seed advanced by the restored step)
+    ds = htrain.VocoderDataset(corpus, cfg.hifigan.segment_size, 256)
+    fresh_first = next(ds.batches(4, seed=cfg.train.seed))[1]
+    resumed_first = next(ds.batches(4, seed=cfg.train.seed + 2))[1]
+    assert not np.array_equal(fresh_first, resumed_first)
+
+
+def test_vocoder_orbax_checkpoint_roundtrip(corpus, tmp_path):
+    """checkpoint_format='orbax': raw GAN state goes to a tensorstore dir,
+    the pickle keeps the folded inference params, and resume restores the
+    exact state."""
+    import jax.numpy as jnp
+
+    from viettts_tpu.train import hifigan as htrain
+    from viettts_tpu.train.checkpoint import load_checkpoint
+
+    cfg = Config(
+        hifigan=HifiGanConfig(
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+            segment_size=512,
+            mpd_periods=(2,),
+            mpd_base_channels=4,
+            msd_scales=1,
+            msd_base_channels=16,
+        ),
+        train=TrainConfig(
+            batch_size=4, num_training_steps=1, val_interval=1,
+            ckpt_interval=1, checkpoint_format="orbax",
+        ),
+        ckpt_dir=tmp_path,
+        data_dir=corpus,
+    )
+    state = htrain.train(cfg, wav_dir=corpus, num_steps=1)
+    ckpt_path = tmp_path / "hifigan_latest_ckpt.pickle"
+    assert ckpt_path.exists()
+    assert (tmp_path / "hifigan_latest_ckpt.orbax").is_dir()
+    # pickle carries inference variables only (raw lives in orbax)
+    dic = load_checkpoint(ckpt_path)
+    assert "raw" not in dic and "variables" in dic
+
+    restored = htrain.restore_vocoder_state(
+        ckpt_path, jax.tree.map(jnp.zeros_like, state), "orbax"
+    )
+    assert restored is not None
+    assert int(restored.step) == 1
+    leaves1 = jax.tree.leaves(state.gen_params)
+    leaves2 = jax.tree.leaves(restored.gen_params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -254,21 +254,97 @@ def make_gan_step(
     return step
 
 
-def save_vocoder_ckpt(path: Path, state: GanState) -> None:
+def _orbax_dir(path: Path) -> Path:
+    return Path(path).with_suffix(".orbax")
+
+
+def save_vocoder_ckpt(path: Path, state: GanState, fmt: str = "pickle") -> None:
+    """Write the vocoder checkpoint.  ``fmt="pickle"``: one atomic file with
+    both the folded inference params and the raw resumable GAN state.
+    ``fmt="orbax"``: the ~1 GB raw state goes to a sharded tensorstore dir
+    (where sharded checkpoints matter most) and the small folded inference
+    params stay in the pickle so the serving loaders keep working."""
+    raw = {
+        "gen_params": state.gen_params,
+        "disc_params": state.disc_params,
+        "spectral": state.spectral,
+        "gen_opt": state.gen_opt,
+        "disc_opt": state.disc_opt,
+        "rng": state.rng,
+    }
+    if fmt == "orbax":
+        from viettts_tpu.train.checkpoint import save_checkpoint_orbax
+
+        save_checkpoint_orbax(
+            _orbax_dir(path),
+            {"step": np.asarray(int(state.step), np.int32), "raw": raw},
+        )
+        save_checkpoint(
+            path,
+            {
+                "format": NATIVE_FORMAT,
+                "step": int(state.step),
+                "variables": {"params": fold_weight_norm(state.gen_params)},
+            },
+        )
+        return
+    if fmt != "pickle":
+        raise ValueError(f"unknown checkpoint_format {fmt!r}")
     save_checkpoint(
         path,
         {
             "format": NATIVE_FORMAT,
             "step": int(state.step),
             "variables": {"params": fold_weight_norm(state.gen_params)},
-            "raw": {
-                "gen_params": state.gen_params,
-                "disc_params": state.disc_params,
-                "spectral": state.spectral,
-                "gen_opt": state.gen_opt,
-                "disc_opt": state.disc_opt,
-            },
+            "raw": raw,
         },
+    )
+
+
+def restore_vocoder_state(
+    ckpt_path: Path, template: GanState, fmt: str = "pickle"
+) -> Optional[GanState]:
+    """Load a resumable GAN state (step, params, optimizer, spectral u,
+    rng) in either checkpoint format.  Returns None when no checkpoint
+    exists.  The rng is restored so a resumed run continues the exact
+    stochastic stream instead of replaying a fresh one."""
+    if fmt == "orbax":
+        from viettts_tpu.train.checkpoint import load_checkpoint_orbax
+
+        tpl = {
+            "step": np.asarray(0, np.int32),
+            "raw": {
+                "gen_params": template.gen_params,
+                "disc_params": template.disc_params,
+                "spectral": template.spectral,
+                "gen_opt": template.gen_opt,
+                "disc_opt": template.disc_opt,
+                "rng": template.rng,
+            },
+        }
+        dic = load_checkpoint_orbax(_orbax_dir(ckpt_path), tpl)
+        if dic is None:
+            return None
+        raw = dic["raw"]
+        step = int(dic["step"])
+    else:
+        dic = load_checkpoint(ckpt_path)
+        if dic is None or "raw" not in dic:
+            return None
+        raw = dic["raw"]
+        step = int(dic["step"])
+    return GanState(
+        step=jnp.asarray(step, jnp.int32),
+        gen_params=jax.tree.map(jnp.asarray, raw["gen_params"]),
+        disc_params=jax.tree.map(jnp.asarray, raw["disc_params"]),
+        spectral=jax.tree.map(jnp.asarray, raw.get("spectral", {})),
+        gen_opt=jax.tree.map(jnp.asarray, raw["gen_opt"]),
+        disc_opt=jax.tree.map(jnp.asarray, raw["disc_opt"]),
+        rng=(
+            jnp.asarray(raw["rng"])
+            if raw.get("rng") is not None
+            else template.rng
+        ),
     )
 
 
@@ -303,7 +379,7 @@ def train(
         gta_dir=gta_dir,
         sample_rate=cfg.dsp.sample_rate,
     )
-    data = ds.batches(cfg.train.batch_size, seed=cfg.train.seed)
+    init_data = ds.batches(cfg.train.batch_size, seed=cfg.train.seed)
 
     # Upstream hifi-gan decays the LR by ``lr_decay`` once per EPOCH
     # (train.py scheduler.step()); one epoch = one pass over the dataset.
@@ -315,7 +391,7 @@ def train(
     disc_tx = optax.adamw(lr, b1=hcfg.adam_b1, b2=hcfg.adam_b2)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
-    mel0, audio0 = next(data)
+    mel0, audio0 = next(init_data)
     cond0 = mel0 if mel0 is not None else np.asarray(mel_fn(jnp.asarray(audio0)))
     k1, k2, k3 = jax.random.split(rng, 3)
     gen_params = generator.init(k1, jnp.asarray(cond0))["params"]
@@ -337,20 +413,21 @@ def train(
     )
 
     ckpt_path = Path(cfg.ckpt_dir) / "hifigan_latest_ckpt.pickle"
-    dic = load_checkpoint(ckpt_path)
-    if dic is not None and "raw" in dic:
-        print(f"Resuming vocoder from {ckpt_path} at step {dic['step']}")
-        state = GanState(
-            step=jnp.asarray(dic["step"], jnp.int32),
-            gen_params=jax.tree.map(jnp.asarray, dic["raw"]["gen_params"]),
-            disc_params=jax.tree.map(jnp.asarray, dic["raw"]["disc_params"]),
-            spectral=jax.tree.map(
-                jnp.asarray, dic["raw"].get("spectral", {})
-            ),
-            gen_opt=jax.tree.map(jnp.asarray, dic["raw"]["gen_opt"]),
-            disc_opt=jax.tree.map(jnp.asarray, dic["raw"]["disc_opt"]),
-            rng=rng,
+    ckpt_fmt = cfg.train.checkpoint_format
+    restored = restore_vocoder_state(ckpt_path, state, ckpt_fmt)
+    if restored is not None:
+        print(
+            f"Resuming vocoder from {ckpt_path} at step {int(restored.step)}"
         )
+        state = restored
+    start_step = int(state.step)
+    # Advance the crop stream past what the run already consumed: a fresh
+    # ``batches(seed=seed)`` would re-serve the same early crops after
+    # every resume (the step count seeds a distinct but deterministic
+    # continuation stream).
+    data = ds.batches(
+        cfg.train.batch_size, seed=cfg.train.seed + start_step
+    )
     state = replicate(state, mesh)
 
     step_fn = make_gan_step(cfg, generator, mpd, msd, gen_tx, disc_tx, mel_fn)
@@ -401,7 +478,8 @@ def train(
             ckpt_thread[0].join()  # backpressure: one save in flight
         snap = copy_state(st)
         t = threading.Thread(
-            target=save_vocoder_ckpt, args=(ckpt_path, snap), daemon=True
+            target=save_vocoder_ckpt, args=(ckpt_path, snap, ckpt_fmt),
+            daemon=True,
         )
         t.start()
         ckpt_thread[0] = t
@@ -428,7 +506,7 @@ def train(
                 save_async(state)
     if ckpt_thread[0] is not None:
         ckpt_thread[0].join()
-    save_vocoder_ckpt(ckpt_path, state)
+    save_vocoder_ckpt(ckpt_path, state, ckpt_fmt)
     return state
 
 
