@@ -82,3 +82,18 @@ def test_normalize_text_speaks_numbers():
 def test_normalize_text_parity_without_digits():
     s = "Hôm nay, trời ĐẸP."
     assert normalize_text(s, numbers=True) == normalize_text(s, numbers=False)
+
+
+def test_ambiguous_dot_decimal_fallback():
+    """Dot decimals like "3.5" match neither the grouped-thousands nor the
+    plain-integer patterns; the fallback reads them as whole + digitwise
+    fraction instead of silently dropping the digits at tokenization."""
+    assert expand_numbers("3.5") == "ba phẩy năm"
+    assert expand_numbers("1.23") == "một phẩy hai ba"
+    # malformed grouping: still verbalized, never dropped
+    out = expand_numbers("12.34.56")
+    assert not any(c.isdigit() for c in out)
+    assert out.startswith("mười hai phẩy")
+    # trailing-dot numbers keep the sentence period
+    out2 = expand_numbers("giá 3.5.")
+    assert "ba phẩy năm" in out2 and not any(c.isdigit() for c in out2)

@@ -183,3 +183,40 @@ def test_http_stream_error_truncates_chunked_body():
                 r.read()
     finally:
         server.shutdown()
+
+
+def test_batcher_timeout_cancels_request():
+    """A timed-out submit() marks its request cancelled: the worker skips
+    it (no wasted batch slot, no stats entry) instead of synthesizing
+    audio nobody will read."""
+    import time
+
+    release = threading.Event()
+    fake = _FakeSynth()
+    real_synthesize = fake.synthesize_batch
+
+    def blocking_synthesize(texts, silence_duration=-1.0):
+        release.wait(30)
+        return real_synthesize(texts, silence_duration)
+
+    fake.synthesize_batch = blocking_synthesize
+    b = DynamicBatcher(fake, max_batch=8, batch_window_ms=1.0)
+    try:
+        # first request occupies the worker (blocked on `release`)
+        with ThreadPoolExecutor(2) as ex:
+            fut = ex.submit(b.submit, "blocker")
+            time.sleep(0.1)
+            # second request times out while queued behind the blocker
+            with pytest.raises(TimeoutError):
+                b.submit("too late", timeout=0.2)
+            release.set()
+            fut.result(timeout=30)
+        # give the worker a moment to drain the cancelled request
+        time.sleep(0.3)
+        synthesized = [t for texts, _ in fake.calls for t in texts]
+        assert "blocker" in synthesized
+        assert "too late" not in synthesized
+        assert b.stats()["requests"] == 1
+    finally:
+        release.set()
+        b.close()

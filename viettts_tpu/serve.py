@@ -63,6 +63,9 @@ class _Request:
     wave: Optional[np.ndarray] = None
     error: Optional[Exception] = None
     t_enqueue: float = field(default_factory=time.perf_counter)
+    # set by a timed-out submit(): the worker skips the request instead of
+    # synthesizing audio nobody will read (and excludes it from stats)
+    cancelled: bool = False
 
 
 class DynamicBatcher:
@@ -113,6 +116,7 @@ class DynamicBatcher:
             self._queue.append(req)
         self._wakeup.set()
         if not req.done.wait(timeout):
+            req.cancelled = True
             raise TimeoutError("synthesis timed out")
         if req.error is not None:
             raise req.error
@@ -160,9 +164,15 @@ class DynamicBatcher:
             batch = self._drain()
             if not batch:
                 continue
-            # group by silence_duration (one clamp value per device call)
+            # group by silence_duration (one clamp value per device call);
+            # timed-out (cancelled) requests are dropped here — their
+            # caller already got an error, so synthesizing them would
+            # waste a batch slot
             groups: dict = {}
             for r in batch:
+                if r.cancelled:
+                    r.done.set()
+                    continue
                 groups.setdefault(r.silence_duration, []).append(r)
             for sd, reqs in groups.items():
                 try:

@@ -124,4 +124,24 @@ def expand_numbers(text: str) -> str:
     text = _DECIMAL_RE.sub(decimal, text)
     text = _GROUPED_RE.sub(grouped, text)
     text = _INT_RE.sub(integer, text)
+    # Fallback: anything the structured patterns did not match (ambiguous
+    # dot decimals like "3.5", malformed groupings like "12.34") would
+    # otherwise pass through and be silently dropped at tokenization — the
+    # exact failure this module exists to prevent.  Read leftover digit
+    # runs digit-by-digit, treating an embedded dot as the decimal mark.
+    def leftover(m: re.Match) -> str:
+        s = m.group(0)
+        if "." in s:
+            whole, _, frac = s.partition(".")
+            out = number_to_vietnamese(int(whole)) if whole else ""
+            if frac:
+                frac_words = " phẩy " + _read_digit_string(
+                    frac.replace(".", "")
+                )
+            else:
+                frac_words = ""
+            return (out + frac_words).strip()
+        return _read_digit_string(s)
+
+    text = re.sub(r"\d+(?:\.\d+)*", leftover, text)
     return text
