@@ -65,12 +65,30 @@ def main():
         {"params": jax.random.PRNGKey(0), "prenet": jax.random.PRNGKey(1)}, ab
     )
     avars = {"params": avars["params"], "batch_stats": avars["batch_stats"]}
-    # large batch: the scan decode path (the fused Pallas loop's VMEM
-    # budget only fits small batches; see infer/pipeline.py)
+    # Mirror the serving pipeline's decode routing (infer/pipeline.py
+    # _decode_mel): the fused Pallas decoder's VMEM gate caps its batch,
+    # and larger batches run as fused sub-batches — still ~2x faster than
+    # one big scan decode (scripts/bench_ar.py).
+    from viettts_tpu.ops.ar_decoder import pick_chunk
+
+    acfg = cfg.acoustic
+    fused_mb = 0
+    b = 1
+    while b <= BATCH and pick_chunk(
+        b, acfg.decoder_dim, acfg.prenet_dim, acfg.mel_dim, N_FRAMES
+    ) is not None:
+        fused_mb = b
+        b *= 2
+    use_pallas = bool(fused_mb) and jax.default_backend() != "cpu"
     ainfer = jax.jit(
-        partial(am.apply, method=AcousticModel.inference, use_pallas=False),
+        partial(
+            am.apply,
+            method=AcousticModel.inference,
+            use_pallas=use_pallas,
+        ),
         static_argnums=(3,),
     )
+    decode_mb = fused_mb if use_pallas and BATCH % fused_mb == 0 else BATCH
 
     gen = Generator(cfg.hifigan)
     mel0 = jnp.zeros((BATCH, N_FRAMES, 80))
@@ -95,10 +113,19 @@ def main():
     def full(s):
         d = dapply(dvars, DurationBatch(toks, lengths, None)) + s * 0.0
         scale = N_FRAMES / jnp.sum(d, axis=1, keepdims=True)
-        mel = ainfer(
-            avars, toks, d * scale, N_FRAMES, lengths,
-            rngs={"prenet": jax.random.PRNGKey(7)},
-        )
+        frames = d * scale
+        mels = [
+            ainfer(
+                avars,
+                toks[i : i + decode_mb],
+                frames[i : i + decode_mb],
+                N_FRAMES,
+                lengths[i : i + decode_mb],
+                rngs={"prenet": jax.random.PRNGKey(7)},
+            )
+            for i in range(0, BATCH, decode_mb)
+        ]
+        mel = mels[0] if len(mels) == 1 else jnp.concatenate(mels, axis=0)
         return vocode(mel)[0, 0, 0]
 
     def voc_only(s):
@@ -108,6 +135,7 @@ def main():
     t_voc = amortized(voc_only)
 
     from viettts_tpu.utils.flops import (
+        generator_actual_flops,
         generator_flops,
         mfu_report,
         pipeline_flops,
@@ -130,7 +158,14 @@ def main():
             "vocoder": mfu_report(
                 generator_flops(cfg, N_FRAMES, BATCH), t_voc
             ),
+            # against the MACs the fused path actually issues (incl. the
+            # space-to-depth packing overhead of the narrow stages) —
+            # distance from the kernel's structural MXU roofline
+            "vocoder_actual_issued": mfu_report(
+                generator_actual_flops(cfg, N_FRAMES, BATCH), t_voc
+            ),
         },
+        "decode_sub_batch": decode_mb,
         "backend": jax.default_backend(),
     }
     out = Path("benchmarks")

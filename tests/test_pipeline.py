@@ -397,37 +397,80 @@ def test_cli_stream_matches_one_shot(tiny_cfg, ckpt_dir, tmp_path):
         assert np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))) <= 1
 
 
+def _jit_sig(*arrays):
+    """The parts of an argument list that determine a jit cache hit."""
+    return tuple(
+        (a.shape, str(a.dtype), bool(getattr(a, "weak_type", False)))
+        for a in arrays
+    )
+
+
 def test_warmup_pads_batch_to_mesh(tiny_cfg, ckpt_dir):
-    """warmup() with a mesh rounds batch sizes up to the data axis (the
-    shapes serving actually dispatches) — `--num-devices 8 --warmup` used
-    to crash on a batch of 1 that shard_map can't split."""
+    """warmup() with a mesh rounds batch sizes up to the data axis and
+    calls the sharded program with *exactly* the jit signature real
+    dispatch uses (shape + dtype + weak_type — a weak_type durs array
+    used to make warmup compile a program serving never reuses).
+    `--num-devices 8 --warmup` used to crash on a batch of 1 that
+    shard_map can't split.
+
+    The sharded fn is stubbed: end-to-end mesh serving compiles are
+    covered by test_mesh_sharded_serving_matches_unsharded; this test
+    asserts warmup's dispatch contract without minutes of CPU XLA."""
     from viettts_tpu.infer.pipeline import Synthesizer
     from viettts_tpu.parallel.mesh import make_mesh
 
     cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
     synth = Synthesizer(cfg, mesh=make_mesh(8), token_buckets=(8, 16))
+    calls = []
+
+    def fake_sharded_fn(nf):
+        def f(avars, hvars, toks, durs, lengths, key):
+            calls.append((nf,) + _jit_sig(toks, durs, lengths))
+            B = toks.shape[0]
+            mel = jnp.zeros((B, nf, cfg.acoustic.mel_dim))
+            return mel, jnp.zeros((B, nf * 256, 1))
+
+        return f
+
+    synth._sharded_fn = fake_sharded_fn
+    # pin durations to realistic speech (~80 ms/phoneme) — the random-init
+    # duration model would dispatch an absurd frame bucket
+    synth._predict_durations = lambda _v, batch: jnp.full(
+        batch.phonemes.shape, 0.08, jnp.float32
+    )
     # must not raise; batch 1 -> 8, 8 stays 8 (deduped)
     synth.warmup(batch_sizes=(1, 8))
-    # warmed program serves a single text (padded to the mesh internally)
+    warmed = set(calls)
+    assert all(sig[1][0][0] == 8 for sig in warmed)  # batch padded to mesh
+    # a single-text request must hit a warmed signature exactly
+    calls.clear()
     res = synth.synthesize("một hai ba")
     assert len(res.wave) > 0
+    assert len(calls) == 1
+    assert calls[0] in warmed
 
 
 def test_warmup_covers_all_token_buckets(tiny_cfg, ckpt_dir):
     """warmup() precompiles every configured token bucket by default, so
     real traffic beyond the smallest bucket doesn't pay first-request
-    compiles (round-2 warmup only touched token_buckets[0])."""
+    compiles (round-2 warmup only touched token_buckets[0]).  Decode and
+    vocode are stubbed — the real programs are exercised elsewhere; this
+    asserts warmup's coverage and signature, cheaply."""
     from viettts_tpu.infer.pipeline import Synthesizer
 
     cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
     synth = Synthesizer(cfg, token_buckets=(8, 16))
     seen = []
-    orig = synth._decode_mel
 
-    def spy(variables, toks, frames, n_frames, lengths, rngs):
-        seen.append(toks.shape)
-        return orig(variables, toks, frames, n_frames, lengths, rngs)
+    def fake_decode(variables, toks, frames, n_frames, lengths, rngs):
+        seen.append(_jit_sig(toks, frames, lengths))
+        return jnp.zeros((toks.shape[0], n_frames, cfg.acoustic.mel_dim))
 
-    synth._decode_mel = spy
+    synth._decode_mel = fake_decode
+    synth._vocode = lambda _v, mel: jnp.zeros(
+        (mel.shape[0], mel.shape[1] * 256, 1)
+    )
     synth.warmup()
-    assert {s[1] for s in seen} == {8, 16}
+    assert {sig[0][0][1] for sig in seen} == {8, 16}
+    # warmed signatures must be strong-typed (what real dispatch passes)
+    assert all(not weak for sig in seen for _, _, weak in sig)

@@ -348,7 +348,7 @@ class Synthesizer:
 
     def warmup(
         self,
-        frame_buckets: Sequence[int] = (FRAME_BUCKET,),
+        frame_buckets: Optional[Sequence[int]] = None,
         batch_sizes: Sequence[int] = (1,),
         token_buckets: Optional[Sequence[int]] = None,
     ) -> None:
@@ -357,7 +357,14 @@ class Synthesizer:
         token bucket), so first real requests don't pay XLA compilation
         latency.  With a mesh, batch sizes are rounded up to a multiple of
         the ``data`` axis — the same padding ``_dispatch_rows`` applies —
-        so the warmed shapes are exactly the shapes serving dispatches."""
+        so the warmed shapes are exactly the shapes serving dispatches.
+
+        The frame bucket a request dispatches is duration-dependent
+        (``_dispatch_decode`` buckets the predicted total frames), so
+        ``frame_buckets=None`` derives, per token bucket, the buckets
+        spanning ~4-8 frames per token (~65-130 ms/phoneme — the range
+        real Vietnamese speech and the sil-clamp postprocess produce).
+        Pass explicit buckets to widen coverage for unusual pacing."""
         token_buckets = tuple(
             token_buckets if token_buckets is not None else self.token_buckets
         )
@@ -375,8 +382,17 @@ class Synthesizer:
                 self._predict_durations(
                     self._duration_vars, DurationBatch(toks, lengths, None)
                 )
-                for nf in frame_buckets:
-                    durs = jnp.full((b, tb), nf / tb)
+                fbs = frame_buckets
+                if fbs is None:
+                    fbs = sorted(
+                        {_bucket_frames(tb * 4), _bucket_frames(tb * 8)}
+                    )
+                for nf in fbs:
+                    # explicit dtype: jnp.full with a python float makes a
+                    # weak_type array, which is a *different* jit signature
+                    # than the strong f32 the real dispatch passes — the
+                    # warmed program would never be reused
+                    durs = jnp.full((b, tb), nf / tb, jnp.float32)
                     if self.mesh is not None:
                         _, wave = self._sharded_fn(int(nf))(
                             self._acoustic_vars, self._hifigan_vars, toks,

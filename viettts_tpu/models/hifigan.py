@@ -563,11 +563,11 @@ def generator_apply_fused(
     ``_generator_apply_fused_one``.
 
     ``fuse_upsample=None`` picks the measured-best route (v5e, T=768,
-    scripts/tune_vocoder_batch.py, round 3 — weight-resident kernels):
-    with bf16 storage the ConvT-fused route wins at EVERY batch size
-    (B=1: 6.97 vs 8.54 ms; B=64: 283 vs 292 ms), so it is always on for
-    bf16.  For f32 the pre-residency measurements stand (fused wins only
-    below B=8), so f32 keeps the batch gate.
+    scripts/tune_vocoder_batch.py, round 3 — weight-resident kernels with
+    large tiles): with bf16 storage the ConvT-fused route wins at EVERY
+    batch size (B=1: 5.06 vs 8.72 ms; B=64: 280.7 vs 293.5 ms), so it is
+    always on for bf16.  For f32 the pre-residency measurements stand
+    (fused wins only below B=8), so f32 keeps the batch gate.
 
     On the ConvT-fused route the x256-stage activations are large; above
     ``max_chunk_batch`` the batch is processed in sub-batches via

@@ -158,10 +158,13 @@ def _stack_radius_rows(
     return r
 
 
-def _pick_tile_rows(rows: int, width: int) -> int:
-    """Tile rows so ~8 live [tile, width] f32 buffers stay within ~6 MB
-    (leaving room for the streamed A-matrix slot and the output block)."""
-    budget = 6 * 1024 * 1024 // (8 * width * 4)
+def _pick_tile_rows(rows: int, width: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Tile rows so ~8 live [tile, width] f32 buffers stay within
+    ``budget_bytes`` (leaving room for the A matrices and the output
+    block).  Resident-weight kernels pass a larger budget: the halo is
+    recomputed per tile, so fewer/larger tiles amortize it (Hp=64 rows is
+    12.5% extra compute at Tp=1024 but 3% at Tp=4096)."""
+    budget = budget_bytes // (8 * width * 4)
     t = 1 << int(math.floor(math.log2(max(budget, 256))))
     t = min(t, 8192, rows)
     while t > 1 and rows % t != 0:
@@ -452,11 +455,6 @@ def fused_mrf(
     if post is not None:
         radius += _conv_radius_rows(post[0].shape[0], 1, g)
     Hp = -(-radius // align) * align
-    Tp = _pick_tile_rows(rows, W)
-    if rows % Tp != 0:
-        raise ValueError(f"{rows} rows not divisible by tile {Tp}")
-    if Tp % align != 0:
-        raise ValueError(f"tile {Tp} not {align}-row aligned")
 
     # Build the packed conv matrices and the static plan.
     a_parts: List[jax.Array] = []
@@ -488,6 +486,17 @@ def fused_mrf(
     a_all = jnp.concatenate(a_parts, axis=0).astype(a_dtype)  # [N, W, W]
     bias_all = jnp.stack(biases)  # [n_convs, W] (biases stay f32)
     resident = a_all.size * a_all.dtype.itemsize <= resident_budget
+
+    # Resident kernels spend no VMEM on streaming scratch and amortize the
+    # halo better with larger tiles (measured on v5e: see
+    # scripts/tune_vocoder_batch.py); streaming keeps the smaller budget.
+    Tp = _pick_tile_rows(
+        rows, W, budget_bytes=24 * 1024 * 1024 if resident else 6 * 1024 * 1024
+    )
+    if rows % Tp != 0:
+        raise ValueError(f"{rows} rows not divisible by tile {Tp}")
+    if Tp % align != 0:
+        raise ValueError(f"tile {Tp} not {align}-row aligned")
 
     ups_plan = None
     ups_inputs: Tuple = ()

@@ -119,6 +119,85 @@ def generator_flops(cfg, n_frames, batch=1):
     return int(f)
 
 
+def _transpose_offsets(k: int, u: int, g_in: int, g_out: int) -> tuple:
+    """(n_offsets, F) for the packed ConvTranspose matmuls — mirrors the
+    placement loop of ops.mrf._pack_transpose_matrices without building
+    the matrices."""
+    F = (g_in * u) // g_out
+    if u > k - 1:
+        pad_a = k - 1
+    else:
+        pad_a = -(-(k + u - 2) // 2)
+    offsets = set()
+    for r in range(g_in):
+        for t in range(k):
+            s = r * u + pad_a - t
+            qp, _ = divmod(s, g_out)
+            oq, _ = divmod(qp, F)
+            offsets.add(-oq)
+    return len(offsets), F
+
+
+def generator_actual_flops(cfg, n_frames, batch=1):
+    """MACs the fused serving path (generator_apply_fused) actually issues
+    on the MXU, as opposed to the algorithmically-necessary count of
+    :func:`generator_flops`.
+
+    The Pallas MRF kernel space-to-depth-packs C<128 channels into
+    128-lane rows and issues one dense [rows,128]@[128,128] matmul per
+    packed-row offset.  Offsets grow with dilation*kernel/g, so the
+    narrow stages (C=64: ~2.1x, C=32: ~2.9x) do structurally more MXU
+    work than the algorithmic count — the price of keeping the 128-wide
+    MXU fully fed (the alternative, unpacked narrow convs, idles
+    (128-C)/128 of the array and measures slower; see ops/mrf.py).
+
+    MFU against *this* count measures distance from the kernel's MXU
+    roofline; MFU against :func:`generator_flops` measures how much of
+    the paid compute is algorithmically necessary.  Stages routed to XLA
+    (C > 128) are counted algorithmically.
+    """
+    from viettts_tpu.ops.mrf import _pack_offsets
+
+    h = cfg if hasattr(cfg, "upsample_rates") else cfg.hifigan
+    C0 = h.upsample_initial_channel
+    L = n_frames
+    f = _conv1d(L, h.mel_dim, C0, 7, batch)
+    c_in = C0
+    n_stages = len(h.upsample_rates)
+    for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+        c_out = C0 // (2 ** (i + 1))
+        L *= u
+        fused = c_out <= 128 and 128 % c_out == 0
+        g = 128 // c_out if fused else 1
+        if not fused:
+            f += 2 * batch * L * c_in * c_out * (k / u)
+        else:
+            # fused ConvTranspose: n_o matmuls [*, W_in] @ [W_in, F*W_out]
+            # per input row (L_in / g_in rows per utterance)
+            g_in = max(1, 128 // c_in)
+            W_in = g_in * c_in
+            no, F = _transpose_offsets(k, u, g_in, g)
+            f += 2 * batch * (L // u // g_in) * no * W_in * (F * g * c_out)
+        for rk, rd in zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes):
+            for d in rd:
+                dils = (d,) if h.resblock != "1" else (d, 1)
+                for dc in dils:
+                    if fused:
+                        nq = len(_pack_offsets(rk, dc, g)[0])
+                        f += 2 * batch * (L // g) * nq * 128 * 128
+                    else:
+                        f += _conv1d(L, c_out, c_out, rk, batch)
+        if i == n_stages - 1 and fused:
+            # conv_post epilogue: nq matmuls [*,128]@[128, g*C_post]; the
+            # MXU pads the narrow N to a full 128-lane tile
+            nq = len(_pack_offsets(7, 1, g)[0])
+            f += 2 * batch * (L // g) * nq * 128 * max(g, 128)
+        c_in = c_out
+    if not (c_in <= 128 and 128 % c_in == 0):
+        f += _conv1d(L, c_in, 1, 7, batch)
+    return int(f)
+
+
 def pipeline_flops(cfg, n_tokens, n_frames, batch=1):
     """Whole synthesis pipeline (duration -> acoustic decode -> vocoder)."""
     return (
