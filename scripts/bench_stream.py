@@ -5,13 +5,12 @@ pure-compute metrics), synthesizes a long multi-sentence text both ways,
 and reports the first-chunk latency against the one-shot latency.
 Writes benchmarks/stream_results.json.
 
-Caveat for this dev environment: the axon TPU tunnel charges ~0.3 s of
-RPC per dispatch/fetch, which dominates sub-second latencies — streaming
-(more, smaller dispatches) therefore shows ~parity here rather than its
-chunk-count speedup.  On a local-host TPU (microsecond dispatch) the
-first-chunk latency is chunk-0 compute only, a ~N_chunks-fold TTFA win
-by construction (the device work per chunk is exactly 1/N of the batch;
-see the equality test tests/test_pipeline.py::test_streaming_matches_*).
+Tunnel note: a blocking device fetch over the axon tunnel costs
+~30-45 ms, so sub-100 ms latencies here carry that floor; on a
+local-host TPU the numbers drop by roughly one fetch.  (Historical trap,
+fixed: before the Synthesizer committed its weights with device_put,
+every dispatch re-uploaded the full numpy weight trees — 0.8-1.8 s per
+call — which buried the streaming win entirely.)
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_stream.py
 """
@@ -93,8 +92,10 @@ def main():
     # The random-init duration model emits ~0.5 s/phoneme, which makes the
     # first chunk carry most of the audio and buries the streaming effect;
     # pin durations to a realistic 80 ms/phoneme so chunk sizes (and the
-    # latency model) match real speech.
-    synth._predict_durations = lambda _vars, batch: jnp.full(
+    # latency model) match real speech.  _durations_traced is the shared
+    # hook: the bucketed path's jit and the single-dispatch lead program
+    # both trace through it.
+    synth._durations_traced = lambda _vars, batch: jnp.full(
         batch.phonemes.shape, 0.08, jnp.float32
     )
     # ~12 sentences -> well past the 256-token chunk cap

@@ -7,7 +7,7 @@ device->host fetches synchronize on the tunneled TPU, so each
 measurement chains K data-dependent jitted calls and subtracts the K=0
 fetch floor.
 
-Usage: PYTHONPATH=.:$PYTHONPATH python scripts/profile_vocoder.py [batch] [frames]
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts/profile_vocoder.py [batch] [frames] [dtype]
 """
 
 import time
@@ -41,11 +41,12 @@ def amortized(step, iters=K, trials=3, *args):
     return max(total - floor, 0.0) / iters
 
 
-def main(batch=8, n_frames=1024):
+def main(batch=8, n_frames=1024, dtype="float32"):
+    cd = jnp.dtype(dtype)
     cfg = Config().hifigan
     gen = Generator(cfg)
-    mel0 = jnp.zeros((batch, n_frames, 80))
-    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
+    mel0 = jnp.zeros((batch, n_frames, 80), cd)
+    gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0.astype(jnp.float32))
     params = gvars["params"]
     num_kernels = len(cfg.resblock_kernel_sizes)
 
@@ -54,19 +55,23 @@ def main(batch=8, n_frames=1024):
         p = _same_pad(k, dilation)
         return (
             jax.lax.conv_general_dilated(
-                x, entry["kernel"], (1,), ((p, p),), rhs_dilation=(dilation,),
+                x.astype(cd), entry["kernel"].astype(cd), (1,), ((p, p),),
+                rhs_dilation=(dilation,),
                 dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=cd,
             )
-            + entry["bias"]
+            + entry["bias"].astype(cd)
         )
 
     def convt(i, x, u):
         return (
             jax.lax.conv_transpose(
-                x, params[f"ups_{i}"]["kernel"], strides=(u,),
+                x.astype(cd), params[f"ups_{i}"]["kernel"].astype(cd),
+                strides=(u,),
                 padding="SAME", dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=cd,
             )
-            + params[f"ups_{i}"]["bias"]
+            + params[f"ups_{i}"]["bias"].astype(cd)
         )
 
     def xla_mrf(x, stage):
@@ -103,7 +108,7 @@ def main(batch=8, n_frames=1024):
             x = jax.jit(
                 lambda z, w=weights: fused_mrf(
                     z, w, cfg.resblock_kernel_sizes,
-                    cfg.resblock_dilation_sizes,
+                    cfg.resblock_dilation_sizes, compute_dtype=cd,
                 )
             )(x)
         else:
@@ -144,13 +149,14 @@ def main(batch=8, n_frames=1024):
             f"stage {i} (C={ch:3d}, x{u}): convT {t_ct*1e3:7.2f} ms | "
             f"mrf XLA {t_xla*1e3:7.2f} ms"
         )
-        if ch <= 128 and 128 % ch == 0:
+        if ch <= 512 and (128 % ch == 0 or ch % 128 == 0):
             weights = mrf_weights_from_params(params, i, num_kernels)
             t_fused = amortized(
                 jax.jit(
                     lambda dep, z, w=weights: fused_mrf(
-                        z + dep * 0, w, cfg.resblock_kernel_sizes,
-                        cfg.resblock_dilation_sizes,
+                        (z + dep * 0).astype(cd), w,
+                        cfg.resblock_kernel_sizes,
+                        cfg.resblock_dilation_sizes, compute_dtype=cd,
                     )[0, 0, 0]
                 ),
                 K, 3, xup,
@@ -159,13 +165,15 @@ def main(batch=8, n_frames=1024):
             t_fused_ups = amortized(
                 jax.jit(
                     lambda dep, z, w=weights, i=i, u=u: fused_mrf(
-                        z + dep * 0, w, cfg.resblock_kernel_sizes,
+                        (z + dep * 0).astype(cd), w,
+                        cfg.resblock_kernel_sizes,
                         cfg.resblock_dilation_sizes,
                         upsample=(
                             params[f"ups_{i}"]["kernel"],
                             params[f"ups_{i}"]["bias"],
                             u,
                         ),
+                        compute_dtype=cd,
                     )[0, 0, 0]
                 ),
                 K, 3, xin,
@@ -199,4 +207,5 @@ if __name__ == "__main__":
     main(
         batch=int(sys.argv[1]) if len(sys.argv) > 1 else 8,
         n_frames=int(sys.argv[2]) if len(sys.argv) > 2 else 1024,
+        dtype=sys.argv[3] if len(sys.argv) > 3 else "float32",
     )

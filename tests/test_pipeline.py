@@ -405,6 +405,60 @@ def _jit_sig(*arrays):
     )
 
 
+def test_single_dispatch_matches_bucketed(tiny_cfg, ckpt_dir):
+    """The single-dispatch program (duration -> decode -> vocode in one
+    jit, used for stream()'s lead chunk) produces the same audio as the
+    bucketed two-round-trip path, and falls back (returns None) when the
+    predicted frame total overflows its static budget."""
+    import dataclasses
+
+    from viettts_tpu.infer.pipeline import Synthesizer
+
+    # Pallas paths off: interpret-mode kernels inside the combined jit
+    # make the CPU compile take minutes (the lead path skips itself on
+    # CPU for the same reason — exercised here with pure-XLA routing;
+    # kernel-vs-XLA equivalence is covered by test_mrf/test_ar_decoder).
+    cfg = tiny_cfg.replace(
+        ckpt_dir=ckpt_dir,
+        acoustic=dataclasses.replace(
+            tiny_cfg.acoustic,
+            prenet_dropout_at_inference=False,
+            fused_decode=False,
+        ),
+        hifigan=dataclasses.replace(
+            tiny_cfg.hifigan, fused_inference=False
+        ),
+    )
+    synth = Synthesizer(cfg)
+    # pin durations to realistic speech (~80 ms/phoneme) so the fused
+    # frame budget (LEAD_FRAMES_PER_TOKEN) holds; _durations_traced is
+    # shared by both paths, so they stay comparable
+    synth._durations_traced = lambda _v, b: jnp.full(
+        b.phonemes.shape, 0.08, jnp.float32
+    )
+    row = synth.text_to_token_ids("một hai ba bốn năm")
+    fused = synth._synthesize_single_fused(row, -1.0)
+    assert fused is not None
+    bucketed = synth._synthesize_rows([row])[0]
+    assert fused.wave.shape == bucketed.wave.shape
+    np.testing.assert_allclose(fused.durations, bucketed.durations, atol=1e-6)
+    # identical prefix decode: the fused program decodes a larger static
+    # frame budget, but the AR decode is causal, so the kept audio matches
+    np.testing.assert_allclose(fused.wave, bucketed.wave, atol=1e-4)
+    np.testing.assert_allclose(fused.mel, bucketed.mel, atol=1e-4)
+
+    # overflow: absurd pacing (0.5 s/phoneme on a near-bucket-length row)
+    # must fall back rather than truncate
+    synth2 = Synthesizer(cfg)
+    synth2._durations_traced = lambda _v, b: jnp.full(
+        b.phonemes.shape, 0.5, jnp.float32
+    )
+    long_row = synth2.text_to_token_ids(
+        "một hai ba bốn năm sáu bảy tám chín mười"
+    )
+    assert synth2._synthesize_single_fused(long_row, -1.0) is None
+
+
 def test_warmup_pads_batch_to_mesh(tiny_cfg, ckpt_dir):
     """warmup() with a mesh rounds batch sizes up to the data axis and
     calls the sharded program with *exactly* the jit signature real

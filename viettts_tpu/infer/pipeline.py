@@ -42,6 +42,11 @@ from viettts_tpu.types import DurationBatch
 
 DEFAULT_TOKEN_BUCKETS = (32, 64, 128, 192, 256, 384, 512)
 FRAME_BUCKET = 128  # frames are padded to a multiple of this
+# Static frame budget of the single-dispatch program: covers the ~4-8
+# frames/token real Vietnamese speech produces (see ``warmup``); overflow
+# is detected from the returned frame total and falls back to the
+# bucketed path.
+LEAD_FRAMES_PER_TOKEN = 8
 
 
 def _bucket_tokens(n: int, buckets: Sequence[int]) -> int:
@@ -151,9 +156,23 @@ class Synthesizer:
                 "no HiFi-GAN checkpoint found; pass hifigan_ckpt="
             )
 
-        self._duration_vars = load_variables(duration_ckpt, "duration")
-        self._acoustic_vars = load_variables(acoustic_ckpt, "acoustic")
-        self._hifigan_vars = load_variables(hifigan_ckpt, "hifigan")
+        # Checkpoint loaders return host numpy trees; commit them to the
+        # device ONCE.  Passed as host arrays, every jitted dispatch
+        # re-uploads the full weight set (55+ MB for the vocoder alone) —
+        # measured 0.8 s per streamed chunk / 1.8 s per single-dispatch
+        # program over the tunnel, vs ~30 ms with device-resident handles.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            put = partial(
+                jax.device_put,
+                device=NamedSharding(mesh, PartitionSpec()),
+            )
+        else:
+            put = jax.device_put
+        self._duration_vars = put(load_variables(duration_ckpt, "duration"))
+        self._acoustic_vars = put(load_variables(acoustic_ckpt, "acoustic"))
+        self._hifigan_vars = put(load_variables(hifigan_ckpt, "hifigan"))
 
         self._duration_model = DurationModel(cfg.duration)
         self._acoustic_model = AcousticModel(cfg.acoustic)
@@ -170,8 +189,11 @@ class Synthesizer:
         self.token_buckets = tuple(token_buckets)
         self._prenet_key = jax.random.PRNGKey(prenet_seed)
 
+        # shared by the jitted host path and the single-dispatch lead
+        # program (tests/benches may swap _durations_traced for a stub)
+        self._durations_traced = partial(self._duration_model.apply, train=False)
         self._predict_durations = jax.jit(
-            partial(self._duration_model.apply, train=False)
+            lambda vars_, batch: self._durations_traced(vars_, batch)
         )
         # Two decode programs: the fused Pallas loop keeps all decoder
         # weights + streamed gate chunks in VMEM, which only fits for small
@@ -228,6 +250,7 @@ class Synthesizer:
 
         self.mesh = mesh
         self._sharded_fns: Dict[int, callable] = {}
+        self._lead_fns: Dict[Tuple[int, int], callable] = {}
 
     def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
         """Dispatch-level decode routing (two separately-jitted programs,
@@ -345,12 +368,96 @@ class Synthesizer:
         return fn
 
     # ------------------------------------------------------------------
+    # single-dispatch synthesis
+
+    def _lead_fn(self, T: int, n_frames: int):
+        """One-dispatch program for a [1, T] token row: duration model ->
+        duration postprocess -> AR decode -> vocoder, all inside a single
+        jit.  The bucketed path needs two blocking host<->device
+        round-trips before audio exists (fetch durations to pick a frame
+        bucket, then fetch the wave — each ~30-45 ms on a tunneled TPU)
+        and decodes a full-size chunk; here the frame budget is static
+        (``LEAD_FRAMES_PER_TOKEN`` per token) so nothing comes back to
+        the host mid-pipeline.  Decode beyond the true frame total is
+        wasted-but-cheap masked work, and the true total is returned for
+        host-side trimming and overflow fallback.  Measured (v5e,
+        scripts/bench_stream.py): first audio in 52 ms vs 138 ms for a
+        full bucketed chunk 0 and 171 ms for one-shot synthesis."""
+        fn = self._lead_fns.get((T, n_frames))
+        if fn is not None:
+            return fn
+        interpret = jax.default_backend() == "cpu"
+        fps = self.cfg.dsp.sample_rate / self.cfg.dsp.hop_length
+
+        def program(dvars, avars, hvars, toks, lengths, sil_dur, key):
+            durs = self._durations_traced(
+                dvars, DurationBatch(toks, lengths, None)
+            )
+            # postprocess (reference text2mel.py:90-97); sil_dur < 0
+            # disables clamping — traced, so one program serves any value
+            clamp = jnp.logical_and(sil_dur >= 0, toks == SIL_INDEX)
+            durs = jnp.where(clamp, jnp.maximum(durs, sil_dur), durs)
+            durs = jnp.where(toks == WORD_END_INDEX, 0.0, durs)
+            mask = jnp.arange(toks.shape[1])[None, :] < lengths[:, None]
+            durs = jnp.where(mask, durs, 0.0)
+            dur_frames = durs * fps
+            total_frames = dur_frames.sum(axis=1)
+            mel = self._decode_mel_traced(
+                avars, toks, dur_frames, n_frames, lengths, key
+            )
+            wave = self._vocode_traced(hvars, mel, interpret)
+            return wave, mel, durs, total_frames
+
+        fn = jax.jit(program)
+        self._lead_fns[(T, n_frames)] = fn
+        return fn
+
+    def _synthesize_single_fused(
+        self, row: List[int], silence_duration: float
+    ) -> Optional[SynthesisResult]:
+        """Synthesize one token row in a single device dispatch (see
+        ``_lead_fn``).  Returns None when the predicted frame total
+        overflows the static budget (pathological pacing, e.g. a huge
+        ``silence_duration``) — callers fall back to the bucketed path."""
+        if jax.default_backend() == "cpu" and (
+            self.cfg.hifigan.fused_inference or self._fused_decode_max_batch
+        ):
+            # Interpret-mode Pallas unrolls its grid into the traced
+            # program; embedding it in the combined jit makes XLA's CPU
+            # compile take minutes.  The lead chunk is a dispatch-latency
+            # optimization — on CPU the bucketed fallback is strictly
+            # better.
+            return None
+        T = _bucket_tokens(len(row), self.token_buckets)
+        n_frames = _bucket_frames(T * LEAD_FRAMES_PER_TOKEN)
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(row)] = row
+        lengths = np.asarray([len(row)], np.int32)
+        out = self._lead_fn(T, n_frames)(
+            self._duration_vars,
+            self._acoustic_vars,
+            self._hifigan_vars,
+            jnp.asarray(toks),
+            jnp.asarray(lengths),
+            jnp.float32(silence_duration),
+            self._prenet_key,
+        )
+        # one batched fetch: on the tunnel every device_get is a round-trip
+        wave, mel, dur_s, total_frames = jax.device_get(out)
+        if float(total_frames[0]) + 1 > n_frames:
+            return None
+        return self._finalize_rows(
+            ([row], mel, wave, dur_s, total_frames)
+        )[0]
+
+    # ------------------------------------------------------------------
 
     def warmup(
         self,
         frame_buckets: Optional[Sequence[int]] = None,
         batch_sizes: Sequence[int] = (1,),
         token_buckets: Optional[Sequence[int]] = None,
+        lead_tokens: Optional[int] = None,
     ) -> None:
         """Pre-compile the decode + vocoder programs for the given frame
         buckets, batch sizes and token buckets (default: every configured
@@ -405,6 +512,18 @@ class Synthesizer:
                         )
                         wave = self._vocode(self._hifigan_vars, mel)
                     jax.block_until_ready(wave)
+        # Also warm the single-dispatch programs stream() leads with (the
+        # token buckets a lead chunk can land in).  ``lead_tokens=None``
+        # warms the stream() default (64) on device backends and skips on
+        # CPU, where the interpret-mode Pallas run would dominate warmup.
+        if lead_tokens is None:
+            lead_tokens = 0 if jax.default_backend() == "cpu" else 64
+        if self.mesh is None and lead_tokens and 1 in batch_sizes:
+            for tb in token_buckets:
+                if tb <= lead_tokens:
+                    self._synthesize_single_fused(
+                        [SIL_INDEX] * max(tb - 1, 1), -1.0
+                    )
 
     def text_to_token_ids(self, text: str) -> List[int]:
         return text_to_tokens(normalize_text(text), self.lexicon)
@@ -484,10 +603,14 @@ class Synthesizer:
         consumed.
 
         Chunk 0 is cut at ``lead_tokens`` (default 64: roughly one
-        sentence) instead of the full ``max_phoneme_seq_len`` cap, so
-        time-to-first-audio pays for a small decode+vocode program — about
-        4x less device compute than a full 256-token chunk (0 disables
-        the lead chunk).  Concatenating the yielded waves reproduces
+        sentence) instead of the full ``max_phoneme_seq_len`` cap, and is
+        synthesized by the **single-dispatch** program (``_lead_fn``:
+        duration -> decode -> vocode in one jit), so time-to-first-audio
+        pays one host<->device round-trip and a small decode+vocode — the
+        bucketed path needs two blocking round-trips (fetch durations,
+        fetch wave) and a full-size chunk-0 program (0 disables the lead
+        chunk; measured 52 ms vs 138 ms TTFA on v5e,
+        scripts/bench_stream.py).  Concatenating the yielded waves reproduces
         ``synthesize(text)`` up to prenet-dropout rng (bit-exact with
         ``acoustic.prenet_dropout_at_inference=False``) and ~1-LSB batch
         routing differences.  The reference has no streaming path (its
@@ -508,10 +631,17 @@ class Synthesizer:
                     self._dispatch_rows([row], silence_duration)
                 )[0]
             return
-        # One tiny batched duration call for every chunk up front: the
-        # per-chunk decode dispatch then needs no device fetch, so chunk
-        # i+1's programs queue behind chunk i's instead of the host
-        # blocking on a duration read between them.
+        if lead_tokens:
+            lead = self._synthesize_single_fused(rows[0], silence_duration)
+            if lead is not None:
+                yield lead
+                rows = rows[1:]
+                if not rows:
+                    return
+        # One tiny batched duration call for every remaining chunk up
+        # front: the per-chunk decode dispatch then needs no device fetch,
+        # so chunk i+1's programs queue behind chunk i's instead of the
+        # host blocking on a duration read between them.
         toks, lengths, dur_s = self._durations_for(rows, silence_duration)
         handles: deque = deque()
         for i in range(len(rows)):

@@ -681,6 +681,12 @@ def _generator_apply_fused_one(
         # large batch (16.7 vs 17.7 ms at B=8); narrower stages always fuse.
         # ``fused_max_batch=None`` lifts the C=128 cap (weight-resident
         # kernel, re-measured via scripts/tune_vocoder_batch.py).
+        # Stage 0 (C=256) deliberately stays on XLA: the kernel supports
+        # C % 128 == 0 (g=1, zero packing overhead), but XLA's bf16 convs
+        # already run at ~92% of bf16 peak there and win the measurement
+        # (scripts/profile_stage.py, B=16 T=768 bf16: XLA 9.16 ms vs
+        # fused 10.04 / hybrid 10.56); at C<=128 the fused kernel wins
+        # (stage 3: fused 20.3 vs XLA 53.6 ms).
         use_fused = (
             ch <= 128
             and (128 % ch == 0)

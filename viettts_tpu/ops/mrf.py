@@ -33,6 +33,7 @@ layout of :class:`viettts_tpu.models.hifigan.WNConv`.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
@@ -280,6 +281,12 @@ def _mrf_kernel(
             )
         else:
             xpad = inp
+        # (A single deep-K dot per conv — [Pp, nq*W] @ [nq*W, W] built by
+        # lane-concatenating the row-shifted views — was tried and is NOT
+        # expressible: Mosaic rejects concatenating vectors whose sublane
+        # offsets differ, "result/input offset mismatch on non-concat
+        # dimension".  The per-offset dot chain below is the supported
+        # form.)
         y = None
         for qi, q in enumerate(offsets):
             a_mat = (
@@ -488,10 +495,15 @@ def fused_mrf(
     resident = a_all.size * a_all.dtype.itemsize <= resident_budget
 
     # Resident kernels spend no VMEM on streaming scratch and amortize the
-    # halo better with larger tiles (measured on v5e: see
-    # scripts/tune_vocoder_batch.py); streaming keeps the smaller budget.
+    # halo better with larger tiles; streaming keeps the smaller budget.
+    # 48 MB measured best per stage on v5e (B=16, T=768, bf16 —
+    # scripts/profile_stage.py: stage1 20.95->19.86 ms, stage3
+    # 21.60->20.28 ms vs 24 MB; 96 MB flat).  VIETTTS_MRF_TILE_MB
+    # overrides for tuning sweeps.
+    tile_mb = int(os.environ.get("VIETTTS_MRF_TILE_MB", "48"))
     Tp = _pick_tile_rows(
-        rows, W, budget_bytes=24 * 1024 * 1024 if resident else 6 * 1024 * 1024
+        rows, W,
+        budget_bytes=tile_mb * 1024 * 1024 if resident else 6 * 1024 * 1024,
     )
     if rows % Tp != 0:
         raise ValueError(f"{rows} rows not divisible by tile {Tp}")
