@@ -447,6 +447,13 @@ def test_single_dispatch_matches_bucketed(tiny_cfg, ckpt_dir):
     np.testing.assert_allclose(fused.wave, bucketed.wave, atol=1e-4)
     np.testing.assert_allclose(fused.mel, bucketed.mel, atol=1e-4)
 
+    # synthesize() and singleton synthesize_batch() route short texts
+    # through the same single-dispatch program (bitwise identical)
+    one = synth.synthesize("một hai ba bốn năm")
+    np.testing.assert_array_equal(one.wave, fused.wave)
+    b = synth.synthesize_batch(["một hai ba bốn năm"])[0]
+    np.testing.assert_array_equal(b.wave, fused.wave)
+
     # overflow: absurd pacing (0.5 s/phoneme on a near-bucket-length row)
     # must fall back rather than truncate
     synth2 = Synthesizer(cfg)
