@@ -11,7 +11,12 @@ from dataclasses import dataclass
 import numpy as np
 import pytest
 
-from viettts_tpu.serve import DynamicBatcher, TTSServer, wav_bytes
+from viettts_tpu.serve import (
+    DynamicBatcher,
+    QueueFullError,
+    TTSServer,
+    wav_bytes,
+)
 
 # real-Synthesizer fixtures (module-scoped; re-instantiated per module)
 from tests.test_pipeline import tiny_cfg, ckpt_dir, synth  # noqa: F401
@@ -182,6 +187,108 @@ def test_http_stream_error_truncates_chunked_body():
             with urllib.request.urlopen(req, timeout=30) as r:
                 r.read()
     finally:
+        server.shutdown()
+
+
+def test_batcher_sheds_load_when_queue_full():
+    """Admission control: once the pending queue reaches max_pending,
+    submit() raises QueueFullError (with a retry hint) instead of growing
+    the queue without bound; accepted requests still complete."""
+    import time
+
+    release = threading.Event()
+    fake = _FakeSynth()
+    real_synthesize = fake.synthesize_batch
+
+    def blocking_synthesize(texts, silence_duration=-1.0):
+        release.wait(30)
+        return real_synthesize(texts, silence_duration)
+
+    fake.synthesize_batch = blocking_synthesize
+    b = DynamicBatcher(fake, max_batch=4, batch_window_ms=1.0, max_pending=3)
+    try:
+        with ThreadPoolExecutor(8) as ex:
+            # the worker picks up the first request and blocks on `release`
+            blocker = ex.submit(b.submit, "blocker")
+            time.sleep(0.15)
+            # fill the pending queue to its cap
+            queued = [ex.submit(b.submit, f"q{i}") for i in range(3)]
+            time.sleep(0.15)
+            # the queue is now full: further submissions are refused
+            with pytest.raises(QueueFullError) as ei:
+                b.submit("overflow")
+            assert ei.value.pending == 3
+            assert ei.value.retry_after_s >= 1
+            assert len(b._queue) <= b.max_pending  # bounded memory
+            release.set()
+            assert len(blocker.result(timeout=30)) > 0
+            for f in queued:
+                assert len(f.result(timeout=30)) > 0
+        s = b.stats()
+        assert s["rejected"] == 1
+        assert s["requests"] == 4  # overflow never synthesized
+        assert "overflow" not in [
+            t for texts, _ in fake.calls for t in texts
+        ]
+    finally:
+        release.set()
+        b.close()
+
+
+def test_http_429_on_overload():
+    """The HTTP layer maps QueueFullError to 429 + Retry-After."""
+    import time
+    import urllib.error
+    from types import SimpleNamespace
+
+    release = threading.Event()
+
+    class _SlowSynth(_FakeSynth):
+        def __init__(self):
+            super().__init__()
+            self.cfg = SimpleNamespace(dsp=SimpleNamespace(sample_rate=16000))
+
+        def synthesize_batch(self, texts, silence_duration=-1.0):
+            release.wait(30)
+            return super().synthesize_batch(texts, silence_duration)
+
+    server = TTSServer(
+        _SlowSynth(), host="127.0.0.1", port=0,
+        batch_window_ms=1.0, max_pending=1,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def post(text):
+        req = urllib.request.Request(
+            base + "/tts", data=json.dumps({"text": text}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.read()
+
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            blocker = ex.submit(post, "blocker")   # worker blocks on it
+            time.sleep(0.2)
+            queued = ex.submit(post, "queued")     # fills max_pending=1
+            time.sleep(0.2)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("overflow")
+            assert ei.value.code == 429
+            assert int(ei.value.headers["Retry-After"]) >= 1
+            body = json.loads(ei.value.read())
+            assert body["pending"] == 1
+            release.set()
+            assert len(blocker.result(timeout=30)) > 0
+            assert len(queued.result(timeout=30)) > 0
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["rejected"] == 1 and s["max_pending"] == 1
+    finally:
+        release.set()
         server.shutdown()
 
 

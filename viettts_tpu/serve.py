@@ -55,6 +55,19 @@ def wav_bytes(wave_f32: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+class QueueFullError(RuntimeError):
+    """Raised by ``DynamicBatcher.submit`` when the pending queue is at
+    ``max_pending``.  ``retry_after_s`` is a conservative estimate of when
+    capacity frees up (the HTTP layer forwards it as ``Retry-After``)."""
+
+    def __init__(self, pending: int, retry_after_s: int):
+        super().__init__(
+            f"queue full ({pending} pending); retry in {retry_after_s}s"
+        )
+        self.pending = pending
+        self.retry_after_s = retry_after_s
+
+
 @dataclass
 class _Request:
     text: str
@@ -84,10 +97,16 @@ class DynamicBatcher:
         synthesizer,
         max_batch: int = 16,
         batch_window_ms: float = 20.0,
+        max_pending: int = 128,
     ):
         self._synth = synthesizer
         self.max_batch = int(max_batch)
         self.batch_window_ms = float(batch_window_ms)
+        # admission control: beyond this many queued-but-unstarted requests
+        # submit() refuses with QueueFullError instead of growing the queue
+        # without bound under overload (each pending request pins its text
+        # and eventually a waveform in memory)
+        self.max_pending = int(max_pending)
         self._queue: deque[_Request] = deque()
         self._lock = threading.Lock()
         # serializes device dispatch between the batch worker and any
@@ -99,6 +118,7 @@ class DynamicBatcher:
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
+        self.n_rejected = 0
         self.batch_sizes: deque = deque(maxlen=1000)
         self.latencies_ms: deque = deque(maxlen=1000)
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -113,6 +133,12 @@ class DynamicBatcher:
         with self._lock:
             if self._shutdown:
                 raise RuntimeError("batcher is shut down")
+            pending = len(self._queue)
+            if pending >= self.max_pending:
+                retry = self._retry_after_estimate(pending)
+                with self._stats_lock:
+                    self.n_rejected += 1
+                raise QueueFullError(pending, retry)
             self._queue.append(req)
         self._wakeup.set()
         if not req.done.wait(timeout):
@@ -131,6 +157,20 @@ class DynamicBatcher:
             self._shutdown = True
         self._wakeup.set()
         self._worker.join(timeout=5)
+
+    def _retry_after_estimate(self, pending: int) -> int:
+        """Seconds until the queue has likely drained below ``max_pending``.
+
+        Uses the observed p50 request latency (which includes queueing) as
+        a per-batch cost proxy; with no history yet, assumes 1 s/batch.
+        Conservative by design — clients honoring ``Retry-After`` should
+        not immediately bounce off the full queue again.
+        """
+        with self._stats_lock:
+            lats = sorted(self.latencies_ms)
+            batch_s = (lats[len(lats) // 2] / 1e3) if lats else 1.0
+        batches_ahead = max(1, -(-pending // self.max_batch))  # ceil div
+        return max(1, int(np.ceil(batches_ahead * batch_s)))
 
     # -- worker side -----------------------------------------------------
 
@@ -202,8 +242,10 @@ class DynamicBatcher:
             d = {
                 "requests": self.n_requests,
                 "batches": self.n_batches,
+                "rejected": self.n_rejected,
                 "mean_batch_size": float(np.mean(sizes)) if sizes else 0.0,
                 "pending": len(self._queue),
+                "max_pending": self.max_pending,
             }
             if lats:
                 d["latency_ms_p50"] = lats[len(lats) // 2]
@@ -221,11 +263,15 @@ class TTSServer:
         port: int = 8080,
         max_batch: int = 16,
         batch_window_ms: float = 20.0,
+        max_pending: int = 128,
     ):
         self.sample_rate = synthesizer.cfg.dsp.sample_rate
         self._synth = synthesizer
         self.batcher = DynamicBatcher(
-            synthesizer, max_batch=max_batch, batch_window_ms=batch_window_ms
+            synthesizer,
+            max_batch=max_batch,
+            batch_window_ms=batch_window_ms,
+            max_pending=max_pending,
         )
         outer = self
 
@@ -269,6 +315,18 @@ class TTSServer:
                     return
                 try:
                     wav = outer.batcher.submit(text, sd)
+                except QueueFullError as e:
+                    # overload: shed the request instead of queueing it
+                    body = json.dumps(
+                        {"error": str(e), "pending": e.pending}
+                    ).encode()
+                    self.send_response(429)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Retry-After", str(e.retry_after_s))
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 except Exception as e:
                     self._json(500, {"error": str(e)})
                     return
@@ -350,6 +408,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--lexicon-file", type=Path, default=None)
     p.add_argument("--max-batch", type=int, default=16)
     p.add_argument("--batch-window-ms", type=float, default=20.0)
+    p.add_argument("--max-pending", type=int, default=128,
+                   help="refuse (HTTP 429) requests beyond this many "
+                        "queued; bounds memory under overload")
     p.add_argument("--num-devices", type=int, default=1,
                    help="shard each batch across this many devices "
                         "(shard_map data-parallel serving)")
@@ -375,6 +436,7 @@ def main(argv: Optional[Sequence[str]] = None):
         port=args.port,
         max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
+        max_pending=args.max_pending,
     )
     print(f"serving on {args.host}:{server.port}")
     try:
