@@ -511,6 +511,127 @@ def test_warmup_pads_batch_to_mesh(tiny_cfg, ckpt_dir):
     assert calls[0] in warmed
 
 
+def test_warmup_covers_silence_clamped_pacing(tiny_cfg, ckpt_dir):
+    """A silence_duration-clamped request after warmup(silence_durations=
+    (0.5,)) dispatches only warmed program shapes: the clamp paces sil
+    tokens at ~31 frames/token (beyond the default 4-8 coverage), and the
+    snap-to-compiled-bucket logic routes it into a warmed bucket instead
+    of compiling mid-serving (round-3 weak item #5)."""
+    from viettts_tpu.infer.pipeline import Synthesizer
+
+    cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
+    synth = Synthesizer(cfg, token_buckets=(8, 16))
+    seen = []
+
+    def fake_decode(variables, toks, frames, n_frames, lengths, rngs):
+        seen.append((toks.shape[0], toks.shape[1], n_frames))
+        return jnp.zeros((toks.shape[0], n_frames, cfg.acoustic.mel_dim))
+
+    synth._decode_mel = fake_decode
+    synth._vocode = lambda _v, mel: jnp.zeros(
+        (mel.shape[0], mel.shape[1] * 256, 1)
+    )
+    synth._predict_durations = lambda _v, batch: jnp.full(
+        batch.phonemes.shape, 0.08, jnp.float32
+    )
+    synth.warmup(silence_durations=(0.5,))
+    warmed = set(seen)
+    seen.clear()
+    # "a . b . c ." -> 4 sil tokens in a <=16-token row; clamped at 0.5 s
+    # each, total ~156 frames -> natural bucket 256 (> tb*8 = 128)
+    res = synth._synthesize_rows([synth.text_to_token_ids("y . e . o .")],
+                                 silence_duration=0.5)
+    assert len(res) == 1
+    assert seen and all(s in warmed for s in seen)
+
+    # control: without silence_durations coverage the same request is a
+    # compile miss (nothing warmed fits 156 frames for the 16-token bucket)
+    synth2 = Synthesizer(cfg, token_buckets=(8, 16))
+    synth2._decode_mel = fake_decode
+    synth2._vocode = synth._vocode
+    synth2._predict_durations = synth._predict_durations
+    seen.clear()
+    synth2.warmup()
+    warmed2 = set(seen)
+    seen.clear()
+    synth2._synthesize_rows(
+        [synth2.text_to_token_ids("y . e . o .")], silence_duration=0.5
+    )
+    assert any(s not in warmed2 for s in seen)
+
+
+def test_dispatch_snaps_to_compiled_bucket(tiny_cfg, ckpt_dir):
+    """When the natural frame bucket isn't compiled but a larger one
+    (within 2x) is, dispatch reuses the compiled program; buckets beyond
+    2x are not snapped to (bounded decode waste)."""
+    from viettts_tpu.infer.pipeline import Synthesizer
+
+    cfg = tiny_cfg.replace(ckpt_dir=ckpt_dir)
+    synth = Synthesizer(cfg, token_buckets=(8, 16))
+    seen = []
+
+    def fake_decode(variables, toks, frames, n_frames, lengths, rngs):
+        seen.append(n_frames)
+        return jnp.zeros((toks.shape[0], n_frames, cfg.acoustic.mel_dim))
+
+    synth._decode_mel = fake_decode
+    synth._vocode = lambda _v, mel: jnp.zeros(
+        (mel.shape[0], mel.shape[1] * 256, 1)
+    )
+    row = [1, 2, 3]
+    toks = np.zeros((1, 8), np.int32)
+    toks[0, :3] = row
+    lengths = np.asarray([3], np.int32)
+    # needed ~ 150 frames (dur 0.8 s x 3 tokens) -> natural bucket 256
+    durs = np.full((1, 8), 0.0, np.float32)
+    durs[0, :3] = 0.8
+    synth._compiled_nf[(1, 8)] = {512}  # 512 <= 2*256: snap
+    synth._finalize_rows(synth._dispatch_decode([row], toks, lengths, durs))
+    assert seen == [512]
+    seen.clear()
+    synth._compiled_nf[(1, 8)] = {640}  # 640 > 2*256: no snap
+    synth._finalize_rows(synth._dispatch_decode([row], toks, lengths, durs))
+    assert seen == [256]
+
+
+def test_mesh_stream_lead_and_pipelining(tiny_cfg, ckpt_dir):
+    """Mesh-mode stream() keeps both streaming wins: the single-dispatch
+    lead chunk (replicated over the mesh) and async one-chunk-ahead
+    dispatch; the concatenated audio matches the unsharded stream."""
+    import dataclasses
+
+    from viettts_tpu.config import DataConfig
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg.replace(
+        ckpt_dir=ckpt_dir,
+        data=DataConfig(max_phoneme_seq_len=16),
+        acoustic=dataclasses.replace(
+            tiny_cfg.acoustic,
+            prenet_dropout_at_inference=False,
+            fused_decode=False,  # pure-XLA so the lead compiles on CPU
+        ),
+        hifigan=dataclasses.replace(tiny_cfg.hifigan, fused_inference=False),
+    )
+    text = "một hai ba bốn năm sáu bảy tám chín mười"
+    plain = Synthesizer(cfg)
+    sharded = Synthesizer(cfg, mesh=make_mesh(8))
+    lead_calls = []
+    orig = sharded._synthesize_single_fused
+    sharded._synthesize_single_fused = lambda *a: (
+        lead_calls.append(a), orig(*a)
+    )[1]
+    chunks_p = list(plain.stream(text, lead_tokens=8))
+    chunks_s = list(sharded.stream(text, lead_tokens=8))
+    # the lead chunk ran through the single-dispatch program under the mesh
+    assert lead_calls and chunks_s[0].wave.shape == chunks_p[0].wave.shape
+    assert len(chunks_s) == len(chunks_p) >= 2
+    got_p = np.concatenate([c.wave for c in chunks_p])
+    got_s = np.concatenate([c.wave for c in chunks_s])
+    np.testing.assert_allclose(got_s, got_p, atol=1e-4)
+
+
 def test_warmup_covers_all_token_buckets(tiny_cfg, ckpt_dir):
     """warmup() precompiles every configured token bucket by default, so
     real traffic beyond the smallest bucket doesn't pay first-request

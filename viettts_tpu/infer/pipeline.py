@@ -21,6 +21,7 @@ serving:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -39,6 +40,8 @@ from viettts_tpu.models import AcousticModel, DurationModel, Generator
 from viettts_tpu.text import load_lexicon, normalize_text, text_to_tokens
 from viettts_tpu.train.checkpoint import load_variables
 from viettts_tpu.types import DurationBatch
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_TOKEN_BUCKETS = (32, 64, 128, 192, 256, 384, 512)
 FRAME_BUCKET = 128  # frames are padded to a multiple of this
@@ -256,6 +259,12 @@ class Synthesizer:
         self.mesh = mesh
         self._sharded_fns: Dict[int, callable] = {}
         self._lead_fns: Dict[Tuple[int, int], callable] = {}
+        # frame buckets already compiled per (batch, token-bucket) shape —
+        # filled by warmup() and by organic traffic; _dispatch_decode snaps
+        # to these so clamped/unusual pacing reuses a compiled program
+        # instead of paying an XLA compile mid-serving
+        self._compiled_nf: Dict[Tuple[int, int], set] = {}
+        self._warmed_up = False
 
     def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
         """Dispatch-level decode routing (two separately-jitted programs,
@@ -438,12 +447,24 @@ class Synthesizer:
         toks = np.zeros((1, T), np.int32)
         toks[0, : len(row)] = row
         lengths = np.asarray([len(row)], np.int32)
+        toks_d, lengths_d = jnp.asarray(toks), jnp.asarray(lengths)
+        if self.mesh is not None:
+            # Replicate the inputs over the mesh so the one-dispatch
+            # program compiles as a replicated SPMD executable: every
+            # device decodes the same row and the fetch reads any replica.
+            # A 1-row batch can't shard, and the bucketed path pads the
+            # batch to the mesh anyway — replication costs the same FLOPs
+            # while keeping the single-round-trip TTFA win under scale-out.
+            from viettts_tpu.parallel.mesh import replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
+            toks_d, lengths_d = jax.device_put((toks_d, lengths_d), rep)
         out = self._lead_fn(T, n_frames)(
             self._duration_vars,
             self._acoustic_vars,
             self._hifigan_vars,
-            jnp.asarray(toks),
-            jnp.asarray(lengths),
+            toks_d,
+            lengths_d,
             jnp.float32(silence_duration),
             self._prenet_key,
         )
@@ -463,6 +484,7 @@ class Synthesizer:
         batch_sizes: Sequence[int] = (1,),
         token_buckets: Optional[Sequence[int]] = None,
         lead_tokens: Optional[int] = None,
+        silence_durations: Sequence[float] = (),
     ) -> None:
         """Pre-compile the decode + vocoder programs for the given frame
         buckets, batch sizes and token buckets (default: every configured
@@ -475,11 +497,19 @@ class Synthesizer:
         (``_dispatch_decode`` buckets the predicted total frames), so
         ``frame_buckets=None`` derives, per token bucket, the buckets
         spanning ~4-8 frames per token (~65-130 ms/phoneme — the range
-        real Vietnamese speech and the sil-clamp postprocess produce).
-        Pass explicit buckets to widen coverage for unusual pacing."""
+        real Vietnamese speech produces).  ``silence_durations`` extends
+        that coverage for sil-clamped requests: a clamp of ``s`` seconds
+        can pace sil tokens at ``s * frames_per_sec`` frames/token (worst
+        case: a row of all-sil tokens), so for each clamp the range above
+        8 frames/token is covered in 2x steps — combined with
+        ``_dispatch_decode``'s snap-to-compiled-bucket, any clamped
+        request then reuses a warmed program (at most ~2x decode padding)
+        instead of compiling mid-serving.  Pass explicit ``frame_buckets``
+        to pin coverage exactly."""
         token_buckets = tuple(
             token_buckets if token_buckets is not None else self.token_buckets
         )
+        fps = self.cfg.dsp.sample_rate / self.cfg.dsp.hop_length
         sizes = []
         for b in batch_sizes:
             if self.mesh is not None:
@@ -496,9 +526,14 @@ class Synthesizer:
                 )
                 fbs = frame_buckets
                 if fbs is None:
-                    fbs = sorted(
-                        {_bucket_frames(tb * 4), _bucket_frames(tb * 8)}
-                    )
+                    cover = {_bucket_frames(tb * 4), _bucket_frames(tb * 8)}
+                    for s in silence_durations:
+                        ceil_f = tb * max(8.0, float(s) * fps)
+                        f = tb * 8
+                        while f < ceil_f:
+                            f = min(f * 2, ceil_f)
+                            cover.add(_bucket_frames(int(f)))
+                    fbs = sorted(cover)
                 for nf in fbs:
                     # explicit dtype: jnp.full with a python float makes a
                     # weak_type array, which is a *different* jit signature
@@ -517,6 +552,7 @@ class Synthesizer:
                         )
                         wave = self._vocode(self._hifigan_vars, mel)
                     jax.block_until_ready(wave)
+                    self._compiled_nf.setdefault((b, tb), set()).add(int(nf))
         # Also warm the single-dispatch programs stream() leads with (the
         # token buckets a lead chunk can land in).  ``lead_tokens=None``
         # warms the stream() default (64) on device backends and skips on
@@ -527,12 +563,13 @@ class Synthesizer:
                 if jax.default_backend() == "cpu"
                 else self.single_dispatch_max_tokens
             )
-        if self.mesh is None and lead_tokens and 1 in batch_sizes:
+        if lead_tokens and 1 in batch_sizes:
             for tb in token_buckets:
                 if tb <= lead_tokens:
                     self._synthesize_single_fused(
                         [SIL_INDEX] * max(tb - 1, 1), -1.0
                     )
+        self._warmed_up = True
 
     def text_to_token_ids(self, text: str) -> List[int]:
         return text_to_tokens(normalize_text(text), self.lexicon)
@@ -590,7 +627,7 @@ class Synthesizer:
         tokens = self.text_to_token_ids(text)
         max_tokens = self.cfg.data.max_phoneme_seq_len
         if len(tokens) <= max_tokens:
-            if self.mesh is None and len(tokens) <= self.single_dispatch_max_tokens:
+            if len(tokens) <= self.single_dispatch_max_tokens:
                 # Short utterances (the common serving request) go through
                 # the single-dispatch program: one round-trip instead of
                 # two, measured 52 ms vs 138 ms on v5e (see _lead_fn).
@@ -639,14 +676,6 @@ class Synthesizer:
             self.cfg.data.max_phoneme_seq_len,
             first_chunk_tokens=lead_tokens or None,
         )
-        if self.mesh is not None:
-            # mesh serving shards whole batches; stream chunks one at a
-            # time (each padded to the mesh inside _dispatch_rows)
-            for row in rows:
-                yield self._finalize_rows(
-                    self._dispatch_rows([row], silence_duration)
-                )[0]
-            return
         if lead_tokens:
             lead = self._synthesize_single_fused(rows[0], silence_duration)
             if lead is not None:
@@ -659,14 +688,31 @@ class Synthesizer:
         # so chunk i+1's programs queue behind chunk i's instead of the
         # host blocking on a duration read between them.
         toks, lengths, dur_s = self._durations_for(rows, silence_duration)
+        n_rep = 1 if self.mesh is None else self.mesh.shape["data"]
+
+        def dispatch(i):
+            if n_rep > 1:
+                # A 1-row chunk can't shard over the mesh: replicate it
+                # across the data axis (duplicates dropped via pad) so the
+                # per-chunk program is the same sharded executable batched
+                # serving compiles, and dispatch stays fully async — the
+                # round-3 mesh path fetched each chunk synchronously,
+                # losing both streaming wins under scale-out.
+                return self._dispatch_decode(
+                    [rows[i]] * n_rep,
+                    np.repeat(toks[i : i + 1], n_rep, 0),
+                    np.repeat(lengths[i : i + 1], n_rep, 0),
+                    np.repeat(dur_s[i : i + 1], n_rep, 0),
+                    pad=n_rep - 1,
+                )
+            return self._dispatch_decode(
+                [rows[i]], toks[i : i + 1], lengths[i : i + 1],
+                dur_s[i : i + 1],
+            )
+
         handles: deque = deque()
         for i in range(len(rows)):
-            handles.append(
-                self._dispatch_decode(
-                    [rows[i]], toks[i : i + 1], lengths[i : i + 1],
-                    dur_s[i : i + 1],
-                )
-            )
+            handles.append(dispatch(i))
             # Chunk 0 is fetched as soon as it is dispatched (minimum
             # time-to-first-audio); afterwards one chunk stays in flight
             # so the device computes chunk i+1 while the consumer plays
@@ -686,11 +732,7 @@ class Synthesizer:
         handful of programs instead of one per distinct batch size."""
         token_rows = [self.text_to_token_ids(t) for t in texts]
         n = len(token_rows)
-        if (
-            n == 1
-            and self.mesh is None
-            and len(token_rows[0]) <= self.single_dispatch_max_tokens
-        ):
+        if n == 1 and len(token_rows[0]) <= self.single_dispatch_max_tokens:
             # A lone short request (quiet server) takes the one-round-trip
             # program instead of the two-round-trip bucketed path.
             res = self._synthesize_single_fused(
@@ -739,7 +781,29 @@ class Synthesizer:
         frames_per_sec = cfg.dsp.sample_rate / cfg.dsp.hop_length
         dur_frames = dur_s * frames_per_sec
         total_frames = dur_frames.sum(axis=1)
-        n_frames = _bucket_frames(int(np.max(total_frames)) + 1)
+        needed = int(np.max(total_frames)) + 1
+        n_frames = _bucket_frames(needed)
+        shape_key = (toks.shape[0], toks.shape[1])
+        compiled = self._compiled_nf.setdefault(shape_key, set())
+        if n_frames not in compiled:
+            # Snap up to an already-compiled frame bucket when one fits
+            # with bounded waste (<= 2x the natural bucket): decode+vocode
+            # cost is linear in frames, but an XLA compile mid-serving is
+            # 20-40 s over a tunneled TPU — padding into a warmed program
+            # wins by orders of magnitude.
+            snap = [f for f in compiled if needed <= f <= 2 * n_frames]
+            if snap:
+                n_frames = min(snap)
+            else:
+                if self._warmed_up:
+                    logger.warning(
+                        "frame bucket %d (batch=%d, tokens=%d) not covered "
+                        "by warmup; compiling a new program mid-serving — "
+                        "widen warmup(frame_buckets=..., "
+                        "silence_durations=...)",
+                        n_frames, *shape_key,
+                    )
+                compiled.add(n_frames)
 
         if self.mesh is not None:
             mels, waves = self._sharded_fn(n_frames)(
