@@ -208,6 +208,216 @@ def test_torch_hifigan_conversion():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def test_torch_discriminator_conversion():
+    """Converted upstream do_* discriminators (MPD weight-norm Conv2d, MSD
+    spectral-norm scale 0 + weight-norm scales 1-2) match the JAX
+    discriminators' forward outputs — the warm-start contract for GTA
+    finetuning (reference torch_model.py:221-380, README.md:88-100)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from torch.nn.utils import spectral_norm, weight_norm
+
+    from viettts_tpu.models.hifigan import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+    )
+    from viettts_tpu.tools.convert_torch_hifigan import convert_discriminators
+
+    periods = (2, 3)
+    num_scales = 2
+
+    class TorchDiscP(nn.Module):
+        # upstream DiscriminatorP at 1/8 channel width
+        def __init__(self, period):
+            super().__init__()
+            self.period = period
+            chans = [(1, 4), (4, 16), (16, 64), (64, 128), (128, 128)]
+            self.convs = nn.ModuleList(
+                [
+                    weight_norm(
+                        nn.Conv2d(
+                            i, o, (5, 1),
+                            (3, 1) if j < 4 else 1,
+                            padding=(2, 0),
+                        )
+                    )
+                    for j, (i, o) in enumerate(chans)
+                ]
+            )
+            self.conv_post = weight_norm(
+                nn.Conv2d(128, 1, (3, 1), 1, padding=(1, 0))
+            )
+
+        def forward(self, x):
+            b, c, t = x.shape
+            if t % self.period:
+                x = F.pad(x, (0, self.period - t % self.period), "reflect")
+                t = x.shape[-1]
+            x = x.view(b, c, t // self.period, self.period)
+            for layer in self.convs:
+                x = F.leaky_relu(layer(x), 0.1)
+            x = self.conv_post(x)
+            return torch.flatten(x, 1, -1)
+
+    class TorchDiscS(nn.Module):
+        # upstream DiscriminatorS at 1/8 channel width
+        def __init__(self, use_sn):
+            super().__init__()
+            norm = spectral_norm if use_sn else weight_norm
+            specs = [
+                (1, 16, 15, 1, 1, 7),
+                (16, 16, 41, 2, 4, 20),
+                (16, 32, 41, 2, 16, 20),
+                (32, 64, 41, 4, 16, 20),
+                (64, 128, 41, 4, 16, 20),
+                (128, 128, 41, 1, 16, 20),
+                (128, 128, 5, 1, 1, 2),
+            ]
+            self.convs = nn.ModuleList(
+                [
+                    norm(nn.Conv1d(i, o, k, s, groups=g, padding=p))
+                    for (i, o, k, s, g, p) in specs
+                ]
+            )
+            self.conv_post = norm(nn.Conv1d(128, 1, 3, 1, padding=1))
+
+        def forward(self, x):
+            for layer in self.convs:
+                x = F.leaky_relu(layer(x), 0.1)
+            x = self.conv_post(x)
+            return torch.flatten(x, 1, -1)
+
+    class TorchMPD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.discriminators = nn.ModuleList(
+                [TorchDiscP(p) for p in periods]
+            )
+
+    class TorchMSD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.discriminators = nn.ModuleList(
+                [TorchDiscS(i == 0) for i in range(num_scales)]
+            )
+
+    torch.manual_seed(1)
+    tmpd, tmsd = TorchMPD(), TorchMSD()
+    # snapshot BEFORE any forward: spectral_norm's train-mode forward
+    # mutates weight_u in place (state_dict() returns live references),
+    # and both frameworks must power-iterate from the same stored u
+    import copy
+
+    mpd_sd = copy.deepcopy(tmpd.state_dict())
+    msd_sd = copy.deepcopy(tmsd.state_dict())
+    wave = np.random.RandomState(0).randn(2, 1024).astype(np.float32) * 0.1
+    tw = torch.from_numpy(wave[:, None, :])
+    with torch.no_grad():
+        # train-mode forward: spectral_norm runs one power iteration from
+        # the stored u, exactly what the JAX forward does from the
+        # converted u
+        want_p = [d(tw).numpy() for d in tmpd.discriminators]
+        want_s = []
+        x = tw
+        for i, d in enumerate(tmsd.discriminators):
+            if i:
+                x = F.avg_pool1d(x, 4, 2, padding=2)
+            want_s.append(d(x).numpy())
+
+    disc_params, spectral_tree = convert_discriminators(
+        mpd_sd, msd_sd, periods=periods, num_scales=num_scales,
+    )
+
+    jw = jnp.asarray(wave)[..., None]
+    mpd = MultiPeriodDiscriminator(periods=periods, base_channels=4)
+    got_p, _, _, _ = mpd.apply({"params": disc_params["mpd"]}, jw, jw)
+    for got, want in zip(got_p, want_p):
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    msd = MultiScaleDiscriminator(num_scales=num_scales, base_channels=16)
+    got_s, _, _, _ = msd.apply(
+        {"params": disc_params["msd"], "spectral": spectral_tree}, jw, jw
+    )
+    for got, want in zip(got_s, want_s):
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # structure matches a cold init (what --disc-init validates against)
+    cold = msd.init(jax.random.PRNGKey(0), jw, jw)
+    assert jax.tree.structure(cold["params"]) == jax.tree.structure(
+        disc_params["msd"]
+    )
+    assert jax.tree.structure(cold["spectral"]) == jax.tree.structure(
+        spectral_tree
+    )
+
+
+def test_disc_init_warm_start(corpus, tmp_path):
+    """train(disc_init=...) loads converted discriminators into the fresh
+    GanState (and rejects mismatched trees loudly)."""
+    from viettts_tpu.models.hifigan import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+    )
+    from viettts_tpu.train import hifigan as htrain
+
+    cfg = _tiny_cfg(corpus, tmp_path)
+    h = cfg.hifigan
+    # build a donor state matching the configured discriminators
+    wave = jnp.zeros((1, h.segment_size, 1))
+    mpd = MultiPeriodDiscriminator(
+        periods=h.mpd_periods, base_channels=h.mpd_base_channels
+    )
+    msd = MultiScaleDiscriminator(
+        num_scales=h.msd_scales, base_channels=h.msd_base_channels
+    )
+    msd_vars = msd.init(jax.random.PRNGKey(7), wave, wave)
+    donor = {
+        "mpd": mpd.init(jax.random.PRNGKey(8), wave, wave)["params"],
+        "msd": msd_vars["params"],
+    }
+    init_path = tmp_path / "disc_init.pickle"
+    save_checkpoint(
+        init_path,
+        {
+            "format": NATIVE_FORMAT,
+            "step": 1140000,
+            "disc_params": donor,
+            "spectral": msd_vars.get("spectral", {}),
+        },
+    )
+    state = htrain.train(
+        cfg, wav_dir=corpus, num_steps=1, log_every=1, disc_init=init_path
+    )
+    assert int(state.step) == 1
+    # the loaded params were the donor's, not a cold init: compare one leaf
+    # against the donor after the single update (they started equal, so
+    # they stay close; a cold init differs at random-init scale)
+    got = state.disc_params["mpd"][f"disc_p{h.mpd_periods[0]}"]["conv_0"]["v"]
+    want = donor["mpd"][f"disc_p{h.mpd_periods[0]}"]["conv_0"]["v"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-2
+    )
+
+    # mismatched tree -> loud failure
+    bad_path = tmp_path / "disc_bad.pickle"
+    save_checkpoint(
+        bad_path,
+        {
+            "format": NATIVE_FORMAT,
+            "step": 0,
+            "disc_params": {"mpd": {}, "msd": {}},
+            "spectral": {},
+        },
+    )
+    (tmp_path / "hifigan_latest_ckpt.pickle").unlink()
+    with pytest.raises(ValueError, match="disc_params tree"):
+        htrain.train(
+            cfg, wav_dir=corpus, num_steps=1, log_every=1,
+            disc_init=bad_path,
+        )
+
+
 def test_vocoder_gan_training_runs(corpus, tmp_path):
     from viettts_tpu.train import hifigan as htrain
 

@@ -348,6 +348,46 @@ def restore_vocoder_state(
     )
 
 
+def _load_disc_init(path: Path, template: GanState) -> GanState:
+    """Warm-start the discriminators (and MSD spectral u) from a converted
+    upstream ``do_*`` checkpoint (tools/convert_torch_hifigan.py
+    --do-file), matching the reference finetune recipe of resuming
+    MPD+MSD alongside the generator (README.md:88-100).  Optimizer
+    moments start fresh (see convert_do_file).  Tree structures are
+    checked against the cold init so a config/checkpoint mismatch fails
+    loudly instead of training against silently-wrong discriminators."""
+    dic = load_checkpoint(path)
+    if dic is None or "disc_params" not in dic:
+        raise ValueError(f"{path} is not a discriminator-init checkpoint")
+    disc_params = jax.tree.map(jnp.asarray, dic["disc_params"])
+    spectral = jax.tree.map(jnp.asarray, dic.get("spectral", {}))
+    for name, got, want in (
+        ("disc_params", disc_params, template.disc_params),
+        ("spectral", spectral, template.spectral),
+    ):
+        got_s = jax.tree.structure(got)
+        want_s = jax.tree.structure(want)
+        if got_s != want_s:
+            raise ValueError(
+                f"--disc-init {name} tree does not match the configured "
+                f"discriminators: {got_s} vs {want_s}"
+            )
+        mismatched = [
+            f"{jax.tree_util.keystr(kp)}: {g.shape} vs {w.shape}"
+            for (kp, g), w in zip(
+                jax.tree_util.tree_flatten_with_path(got)[0],
+                jax.tree.leaves(want),
+            )
+            if g.shape != w.shape
+        ]
+        if mismatched:
+            raise ValueError(
+                f"--disc-init {name} shapes mismatch: {mismatched[:5]}"
+            )
+    print(f"Warm-starting discriminators from {path}")
+    return template._replace(disc_params=disc_params, spectral=spectral)
+
+
 def train(
     cfg: Config = Config(),
     wav_dir: Optional[Path] = None,
@@ -355,6 +395,7 @@ def train(
     num_steps: Optional[int] = None,
     log_every: int = 1000,
     on_metrics=None,
+    disc_init: Optional[Path] = None,
 ) -> GanState:
     hcfg = cfg.hifigan
     hop = cfg.dsp.hop_length
@@ -420,6 +461,11 @@ def train(
             f"Resuming vocoder from {ckpt_path} at step {int(restored.step)}"
         )
         state = restored
+    elif disc_init is not None:
+        # fresh run (typically GTA finetuning): warm-start MPD/MSD from
+        # the converted upstream do_* checkpoint; an in-progress run's
+        # own resume state takes precedence above
+        state = _load_disc_init(disc_init, state)
     start_step = int(state.step)
     # Advance the crop stream past what the run already consumed: a fresh
     # ``batches(seed=seed)`` would re-serve the same early crops after
@@ -523,13 +569,22 @@ def main(argv=None):
     )
     parser.add_argument("--ckpt-dir", type=Path, default=None)
     parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument(
+        "--disc-init", type=Path, default=None,
+        help="converted upstream do_* discriminator checkpoint "
+             "(tools/convert_torch_hifigan.py --do-file) to warm-start "
+             "MPD/MSD for GTA finetuning",
+    )
     parser.add_argument("--set", action="append", default=[], metavar="K=V")
     args = parser.parse_args(argv)
     cfg = apply_overrides(Config(), args.set)
     if args.ckpt_dir:
         cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
     Path(cfg.ckpt_dir).mkdir(parents=True, exist_ok=True)
-    train(cfg, wav_dir=args.wav_dir, gta_dir=args.gta_dir, num_steps=args.steps)
+    train(
+        cfg, wav_dir=args.wav_dir, gta_dir=args.gta_dir,
+        num_steps=args.steps, disc_init=args.disc_init,
+    )
 
 
 if __name__ == "__main__":
