@@ -311,7 +311,11 @@ def test_batch_size_bucketing(synth):
 def test_mesh_sharded_serving_matches_unsharded(tiny_cfg, ckpt_dir):
     """shard_map serving over an 8-device mesh produces the same audio as
     the single-device path (prenet dropout disabled so the decode is
-    deterministic and shard-count-invariant)."""
+    deterministic and shard-count-invariant).  Pure-XLA routing: the
+    multi-shape interpret-Pallas version of this test took ~17 min of CPU
+    compile alone; kernel-vs-XLA equivalence is covered by test_mrf /
+    test_ar_decoder and kernels-under-shard_map (one shape) by
+    test_mesh_sharded_serving_pallas_single_shape below."""
     import dataclasses
 
     from viettts_tpu.infer.pipeline import Synthesizer
@@ -320,8 +324,11 @@ def test_mesh_sharded_serving_matches_unsharded(tiny_cfg, ckpt_dir):
     cfg = tiny_cfg.replace(
         ckpt_dir=ckpt_dir,
         acoustic=dataclasses.replace(
-            tiny_cfg.acoustic, prenet_dropout_at_inference=False
+            tiny_cfg.acoustic,
+            prenet_dropout_at_inference=False,
+            fused_decode=False,
         ),
+        hifigan=dataclasses.replace(tiny_cfg.hifigan, fused_inference=False),
     )
     texts = ["một hai ba", "bốn năm", "sáu bảy tám chín", "mười", "xin chào"]
     plain = Synthesizer(cfg)
@@ -333,9 +340,37 @@ def test_mesh_sharded_serving_matches_unsharded(tiny_cfg, ckpt_dir):
         assert s.wave.shape == p.wave.shape
         np.testing.assert_allclose(s.mel, p.mel, atol=1e-4)
         np.testing.assert_allclose(s.wave, p.wave, atol=1e-4)
-    # single-utterance path pads the batch to the mesh and still works
+    # single-utterance path (single-dispatch lead or mesh-padded batch)
     one = sharded.synthesize("một hai ba")
     np.testing.assert_allclose(one.wave, res_p[0].wave, atol=1e-4)
+
+
+def test_mesh_sharded_serving_pallas_single_shape(tiny_cfg, ckpt_dir):
+    """The Pallas kernels (fused decode + MRF vocoder) compile and run
+    inside the shard_map serving program — one (batch, tokens, frames)
+    shape only, since every shape recompiles the interpret-mode kernels
+    on CPU (the real-TPU serving path runs kernels under the mesh)."""
+    import dataclasses
+
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg.replace(
+        ckpt_dir=ckpt_dir,
+        acoustic=dataclasses.replace(
+            tiny_cfg.acoustic, prenet_dropout_at_inference=False
+        ),
+    )
+    texts = ["một hai ba"] * 8  # one row per device: a single batch shape
+    sharded = Synthesizer(cfg, mesh=make_mesh(8))
+    res = sharded.synthesize_batch(texts)
+    assert len(res) == 8
+    for r in res:
+        assert len(r.wave) == r.mel.shape[0] * 256
+        assert np.all(np.isfinite(r.wave))
+    # identical rows -> identical audio across shards
+    for r in res[1:]:
+        np.testing.assert_array_equal(r.wave, res[0].wave)
 
 
 def test_streaming_matches_synthesize(tiny_cfg, ckpt_dir):
