@@ -109,6 +109,7 @@ def main(steps=600, gta=False):
         make_gta_mels(corpus, gta_dir, cfg)
 
     history = {"step": [], "disc_loss": [], "gen_loss": [], "mel_l1": []}
+    mcd_history = {"step": [], "mcd_db": []}
 
     sample_t = []  # (step, dispatch wall-time): backpressure makes the
     # dispatch rate track the device step rate at steady state
@@ -122,12 +123,42 @@ def main(steps=600, gta=False):
         if step % 10 == 0:
             sample_t.append((step, time.time()))
 
+    # Perceptual trend metric (round-3 directive #8): mel-cepstral
+    # distortion of a fixed held-out clip resynthesized by the live
+    # generator — one jitted program over device-resident params, so a
+    # periodic probe costs ~one training step, not a checkpoint fetch.
+    from viettts_tpu.data.audio import read_wav
+    from viettts_tpu.models.hifigan import Generator as GenModule
+    from viettts_tpu.ops.mel import LogMelSpectrogram
+    from viettts_tpu.utils.metrics import mel_cepstral_distortion
+
+    mel_fn_val = LogMelSpectrogram(cfg.dsp)
+    _, held = read_wav(sorted(corpus.glob("*.wav"))[-1])
+    held = (held.astype(np.float32) / 2**15)[: SR * 2 // 256 * 256]
+    held_j = jnp.asarray(held)
+    gen_wn = GenModule(
+        cfg.hifigan, use_wn=True,
+        dtype=jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32,
+    )
+
+    @jax.jit
+    def mcd_probe(gen_params):
+        mel_ref = mel_fn_val(held_j[None])
+        wav = gen_wn.apply({"params": gen_params}, mel_ref)
+        mel_gen = mel_fn_val(wav[..., 0].astype(jnp.float32))
+        return mel_cepstral_distortion(mel_ref, mel_gen)
+
+    def on_state(step, state):
+        mcd_history["step"].append(step)
+        mcd_history["mcd_db"].append(float(mcd_probe(state.gen_params)))
+
     from viettts_tpu.train import hifigan as htrain
 
     t0 = time.time()
     state = htrain.train(
         cfg, wav_dir=corpus, gta_dir=gta_dir, num_steps=steps,
         log_every=100, on_metrics=on_metrics,
+        on_state=on_state, on_state_every=max(50, steps // 40),
     )
     dt = time.time() - t0
     sps = steps / dt
@@ -150,6 +181,8 @@ def main(steps=600, gta=False):
         for k in ("disc_loss", "gen_loss", "mel_l1")
     )
 
+    mcd = np.asarray(mcd_history["mcd_db"], np.float64)
+    ok_mcd = bool(len(mcd) >= 2 and mcd[-1] < mcd[0])
     result = {
         "steps": steps,
         "batch_size": cfg.train.batch_size,
@@ -161,19 +194,24 @@ def main(steps=600, gta=False):
         "mel_l1_reduction": round(float(1 - late / early), 4),
         "disc_loss_last": history["disc_loss"][-1],
         "gen_loss_last": history["gen_loss"][-1],
+        "mcd_db_first": round(float(mcd[0]), 3) if len(mcd) else None,
+        "mcd_db_last": round(float(mcd[-1]), 3) if len(mcd) else None,
         "ok_mel_l1_decreased_30pct": bool(ok_decrease),
         "ok_losses_finite": bool(ok_finite),
+        "ok_mcd_decreased": ok_mcd,
         "gta_finetune_mode": bool(gta),
         "history": history,
+        "mcd_history": mcd_history,
     }
     out_json = OUT / ("gan_training_gta.json" if gta else "gan_training.json")
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
+    skip = ("history", "mcd_history")
     if gta:
         # the standard artifacts (curves PNG, sample wav) belong to the
         # ground-truth run; the GTA pass only records metrics
         print(json.dumps(
-            {k: v for k, v in result.items() if k != "history"}, indent=1
+            {k: v for k, v in result.items() if k not in skip}, indent=1
         ))
         print("PASS" if (ok_decrease and ok_finite) else "FAIL")
         return
@@ -185,11 +223,14 @@ def main(steps=600, gta=False):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+        fig, axes = plt.subplots(1, 4, figsize=(18, 4))
         for ax, k in zip(axes, ("disc_loss", "gen_loss", "mel_l1")):
             ax.plot(history["step"], history[k])
             ax.set_title(k)
             ax.set_xlabel("step")
+        axes[3].plot(mcd_history["step"], mcd_history["mcd_db"])
+        axes[3].set_title("MCD (dB, held-out)")
+        axes[3].set_xlabel("step")
         fig.tight_layout()
         fig.savefig(OUT / "gan_training.png")
     except Exception as e:
@@ -210,7 +251,9 @@ def main(steps=600, gta=False):
     wav = jax.jit(gen.apply)(variables, cond)
     write_wav(OUT / "gan_sample.wav", np.asarray(wav[0, :, 0]), SR)
 
-    print(json.dumps({k: v for k, v in result.items() if k != "history"}, indent=1))
+    print(json.dumps(
+        {k: v for k, v in result.items() if k not in skip}, indent=1
+    ))
     print("PASS" if (ok_decrease and ok_finite) else "FAIL")
 
 

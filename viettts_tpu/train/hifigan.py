@@ -396,7 +396,13 @@ def train(
     log_every: int = 1000,
     on_metrics=None,
     disc_init: Optional[Path] = None,
+    on_state=None,
+    on_state_every: int = 0,
 ) -> GanState:
+    """``on_state(step, state)``, called every ``on_state_every`` steps,
+    gives callers periodic access to the live (replicated) GanState for
+    validation-time metrics (e.g. MCD tracking in scripts/validate_gan.py)
+    without the trainer hard-coding any particular metric."""
     hcfg = cfg.hifigan
     hop = cfg.dsp.hop_length
     mesh = mesh_for_batch(cfg.train.batch_size, cfg.train.num_devices)
@@ -548,6 +554,10 @@ def train(
                     f" | gen {avg['gen_loss'].mean():.3f}"
                     f" | mel_l1 {avg['mel_l1'].mean():.4f} | {sps:.2f} steps/s"
                 )
+            if on_state is not None and on_state_every and (
+                step % on_state_every == 0
+            ):
+                on_state(step, state)
             if step % cfg.train.ckpt_interval == 0:
                 save_async(state)
     if ckpt_thread[0] is not None:
