@@ -369,3 +369,63 @@ def test_fused_generator_bf16_close_to_f32():
     )
     assert got.dtype == jnp.float32  # waveform is always f32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02)
+
+
+def test_fused_mrf_int8_close_to_f32():
+    """quantize_int8 runs the MRF convs as int8 x int8 -> int32 MXU passes
+    with per-output-channel weight scales and dynamic per-tile activation
+    scales; the result stays within int8 quantization tolerance of f32."""
+    rng = np.random.RandomState(9)
+    B, L, C = 2, 512, 64
+    kernel_sizes = (3, 7)
+    dilations = ((1, 3), (1, 3))
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32) * 0.5)
+    weights = []
+    for kk in kernel_sizes:
+        weights.append(
+            (
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.01),
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.01),
+            )
+        )
+    ref = fused_mrf(x, weights, kernel_sizes, dilations, interpret=True)
+    got = fused_mrf(
+        x, weights, kernel_sizes, dilations, interpret=True,
+        quantize_int8=True,
+    )
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    rms = float(np.sqrt((ref ** 2).mean()))
+    err = float(np.sqrt(((got - ref) ** 2).mean()))
+    assert err / rms < 0.03, (err, rms)
+
+
+def test_fused_generator_int8_close_to_f32():
+    """End-to-end int8-quantized fused generator (ConvT fusion + post
+    epilogue + quantized MRFs) stays within quantization tolerance of the
+    f32 route, and the waveform output stays f32."""
+    cfg = HifiGanConfig(
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    gen = Generator(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(10).randn(2, 16, 80).astype(np.float32)
+    )
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    ref = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
+    got = generator_apply_fused(
+        cfg, variables["params"], mel, interpret=True,
+        compute_dtype=jnp.bfloat16, quantize_int8=True,
+    )
+    assert got.dtype == jnp.float32
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    rms = float(np.sqrt((ref ** 2).mean()))
+    err = float(np.sqrt(((got - ref) ** 2).mean()))
+    assert err / max(rms, 1e-6) < 0.05, (err, rms)

@@ -179,9 +179,14 @@ class Synthesizer:
 
         self._duration_model = DurationModel(cfg.duration)
         self._acoustic_model = AcousticModel(cfg.acoustic)
+        # "int8" quantizes the MRF convs (int8 MXU passes at 2x the bf16
+        # rate on v5e) on top of bf16 storage for everything else; see
+        # HifiGanConfig.inference_dtype for the measured quality bound.
+        self._vocoder_quant = cfg.hifigan.inference_dtype == "int8"
         self._vocoder_dtype = (
             jnp.bfloat16
-            if cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
+            if self._vocoder_quant
+            or cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
             else jnp.float32
         )
         self._generator = Generator(cfg.hifigan, dtype=self._vocoder_dtype)
@@ -251,6 +256,7 @@ class Synthesizer:
                 lambda _vars, mel: generator_apply_fused(
                     cfg.hifigan, hifi_params, mel, interpret=interpret,
                     compute_dtype=self._vocoder_dtype,
+                    quantize_int8=self._vocoder_quant,
                 )
             )
         else:
@@ -338,6 +344,7 @@ class Synthesizer:
             return generator_apply_fused(
                 self.cfg.hifigan, hvars["params"], mel, interpret=interpret,
                 compute_dtype=self._vocoder_dtype,
+                quantize_int8=self._vocoder_quant,
             )
         return self._generator.apply(hvars, mel)
 

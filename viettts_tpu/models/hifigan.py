@@ -558,6 +558,7 @@ def generator_apply_fused(
     fuse_upsample: bool | None = None,
     compute_dtype: Any = jnp.float32,
     fused_max_batch: int | None | str = "auto",
+    quantize_int8: bool = False,
 ) -> jax.Array:
     """Generator forward with fused Pallas MRF stages; see
     ``_generator_apply_fused_one``.
@@ -583,13 +584,21 @@ def generator_apply_fused(
     to the Pallas MRF at the C=128 stage (None = no cap; the bf16 kernel
     keeps its packed weights VMEM-resident, so the cap defaults off for
     bf16).
+
+    ``quantize_int8=True`` runs the MRF convs of every fused stage as
+    int8 x int8 -> int32 MXU passes (2x the bf16 matmul rate on v5e) with
+    per-output-channel weight scales and dynamic per-tile activation
+    scales; residuals, the fused ConvTranspose/conv_post, and the XLA
+    stages stay in ``compute_dtype``.  See ``fused_mrf(quantize_int8=)``
+    for the scheme and HifiGanConfig.inference_dtype for the measured
+    quality bound.
     """
     B = mel.shape[0]
     is_bf16 = jnp.dtype(compute_dtype) == jnp.bfloat16
     if fuse_upsample is None:
-        fuse_upsample = True if is_bf16 else B < 8
+        fuse_upsample = True if (is_bf16 or quantize_int8) else B < 8
     if fused_max_batch == "auto":
-        fused_max_batch = None if is_bf16 else 8
+        fused_max_batch = None if (is_bf16 or quantize_int8) else 8
     if fuse_upsample and B > max_chunk_batch:
         chunk = max(
             d for d in range(1, max_chunk_batch + 1) if B % d == 0
@@ -602,6 +611,7 @@ def generator_apply_fused(
                     fuse_upsample=fuse_upsample,
                     compute_dtype=compute_dtype,
                     fused_max_batch=fused_max_batch,
+                    quantize_int8=quantize_int8,
                 ),
                 mels,
             )
@@ -609,6 +619,7 @@ def generator_apply_fused(
     return _generator_apply_fused_one(
         cfg, params, mel, interpret=interpret, fuse_upsample=fuse_upsample,
         compute_dtype=compute_dtype, fused_max_batch=fused_max_batch,
+        quantize_int8=quantize_int8,
     )
 
 
@@ -621,6 +632,7 @@ def _generator_apply_fused_one(
     fuse_upsample: bool = True,
     compute_dtype: Any = jnp.float32,
     fused_max_batch: int | None = 8,
+    quantize_int8: bool = False,
 ) -> jax.Array:
     """Generator forward with each stage's MRF resblock stack fused into a
     single Pallas kernel (viettts_tpu.ops.mrf) instead of 18 separate XLA
@@ -722,6 +734,7 @@ def _generator_apply_fused_one(
                         post=post_w,
                         interpret=interpret,
                         compute_dtype=cd,
+                        quantize_int8=quantize_int8,
                     )
                     post_done = last
                     continue
@@ -757,6 +770,7 @@ def _generator_apply_fused_one(
                     post=post_w,
                     interpret=interpret,
                     compute_dtype=cd,
+                    quantize_int8=quantize_int8,
                 )
                 post_done = last
                 continue
@@ -769,6 +783,7 @@ def _generator_apply_fused_one(
                         cfg.resblock_dilation_sizes,
                         interpret=interpret,
                         compute_dtype=cd,
+                        quantize_int8=quantize_int8,
                     )
                 except ValueError:
                     # tiny/tile-misaligned shapes (e.g. debug configs):

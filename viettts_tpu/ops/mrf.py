@@ -191,9 +191,13 @@ def _mrf_kernel(
     ups_plan=None,  # (offsets tuple, F, P_in, P_in_buf) when fusing convT
     post_plan=None,  # offsets tuple when fusing lrelu+conv_post+tanh
     resident: bool = False,  # A-matrices fully VMEM-resident (no streaming)
+    quantize: bool = False,  # int8 A-matrices + dynamic int8 activations
 ):
     rest = list(rest)
     ups_b_ref = ups_bias_ref = post_b_ref = post_bias_ref = None
+    sw_ref = None
+    if quantize:
+        sw_ref, rest = rest[0], rest[1:]
     if ups_plan is not None:
         ups_b_ref, ups_bias_ref = rest[:2]
         rest = rest[2:]
@@ -270,6 +274,18 @@ def _mrf_kernel(
         qmin, qmax = offsets[0], offsets[-1]
         left = max(0, -qmin)
         right = max(0, qmax)
+        if quantize:
+            # Dynamic per-tile symmetric int8 quantization of the conv
+            # input: one scalar scale for the whole [Pp, W] tile keeps the
+            # accumulation across q-offsets in int32 (a single dequant at
+            # the end) — per-row scales would force a per-offset f32
+            # dequant, whose VPU cost eats the int8 MXU win.  The MXU runs
+            # int8 x int8 -> int32 at 2x the bf16 rate on v5e.
+            amax = jnp.max(jnp.abs(inp))
+            inv = 127.0 / jnp.maximum(amax, 1e-30)
+            inp = jnp.clip(jnp.round(inp * inv), -127.0, 127.0).astype(
+                jnp.int8
+            )
         if left or right:
             xpad = jnp.concatenate(
                 [
@@ -292,17 +308,33 @@ def _mrf_kernel(
             a_mat = (
                 a_all_ref[start + qi] if resident else a_buf_ref[slot, qi]
             )
-            # All in-kernel math is f32: at jax's DEFAULT matmul precision
-            # the MXU already rounds f32 dot operands to bf16 single-pass,
-            # so bf16 *compute* buys nothing — bf16 here is a storage
-            # format (A-matrices + activation I/O), cast f32 at the dot.
-            contrib = jax.lax.dot_general(
-                jax.lax.slice(xpad, (q - qmin, 0), (q - qmin + Pp, W)),
-                a_mat.astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if quantize:
+                # int8 x int8 -> int32 MXU pass; accumulate in int32.
+                contrib = jax.lax.dot_general(
+                    jax.lax.slice(xpad, (q - qmin, 0), (q - qmin + Pp, W)),
+                    a_mat,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            else:
+                # All in-kernel math is f32: at jax's DEFAULT matmul
+                # precision the MXU already rounds f32 dot operands to bf16
+                # single-pass, so bf16 *compute* buys nothing — bf16 here
+                # is a storage format (A-matrices + activation I/O), cast
+                # f32 at the dot.
+                contrib = jax.lax.dot_general(
+                    jax.lax.slice(xpad, (q - qmin, 0), (q - qmin + Pp, W)),
+                    a_mat.astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             y = contrib if y is None else y + contrib
+        if quantize:
+            # Dequant: x = xi * (amax/127), A = Ai * sw[col] (per-column
+            # weight scales) => y = intdot * (amax/127) * sw.
+            y = y.astype(jnp.float32) * (
+                (amax * (1.0 / 127.0)) * sw_ref[conv_counter[0]]
+            )
         y = y + bias_ref[conv_counter[0]]
         conv_counter[0] += 1
         return jnp.where(valid, y, 0.0)
@@ -394,6 +426,7 @@ def fused_mrf(
     weights_dtype=None,
     io_dtype=None,
     resident_budget: int = 10 * 1024 * 1024,
+    quantize_int8: bool = False,
 ) -> jax.Array:
     """Apply the fused (ConvTranspose +) MRF (+ conv_post) stack.
 
@@ -423,6 +456,14 @@ def fused_mrf(
     double-buffer-streamed per conv — streaming re-fetched the identical
     weights once per (batch, tile) grid program, which at large batch
     dominated HBM traffic.
+
+    ``quantize_int8=True`` stores the MRF packed A-matrices as int8 with
+    per-output-column (= per original output channel) symmetric scales and
+    quantizes each conv's input tile dynamically (one scalar scale per
+    tile) inside the kernel, so every MRF conv runs as int8 x int8 -> int32
+    MXU passes — 2x the bf16 matmul rate on v5e.  The residual chain, the
+    resblock average, biases, and the (optional) fused ConvTranspose /
+    conv_post stay in f32/bf16: only the 18 MRF convs are quantized.
     """
     kernel_sizes = tuple(kernel_sizes)
     dilations = tuple(tuple(d) for d in dilations)
@@ -490,7 +531,24 @@ def fused_mrf(
             blk_plan.append(tuple(unit))
         plan.append(tuple(blk_plan))
 
-    a_all = jnp.concatenate(a_parts, axis=0).astype(a_dtype)  # [N, W, W]
+    sw_inputs: Tuple = ()
+    if quantize_int8:
+        # Per-conv, per-output-column symmetric quantization.  A column of
+        # the packed matrix holds one (packed position, output channel)
+        # pair, and the scale max runs over all q offsets, so this is
+        # exactly per-output-channel quantization of the original conv.
+        q_parts: List[jax.Array] = []
+        sw_parts: List[jax.Array] = []
+        for A in a_parts:
+            s = jnp.maximum(jnp.max(jnp.abs(A), axis=(0, 1)), 1e-12) / 127.0
+            q_parts.append(
+                jnp.clip(jnp.round(A / s), -127.0, 127.0).astype(jnp.int8)
+            )
+            sw_parts.append(s.astype(jnp.float32))
+        a_all = jnp.concatenate(q_parts, axis=0)  # [N, W, W] int8
+        sw_inputs = (jnp.stack(sw_parts),)  # [n_convs, W]
+    else:
+        a_all = jnp.concatenate(a_parts, axis=0).astype(a_dtype)  # [N, W, W]
     bias_all = jnp.stack(biases)  # [n_convs, W] (biases stay f32)
     resident = a_all.size * a_all.dtype.itemsize <= resident_budget
 
@@ -576,13 +634,14 @@ def fused_mrf(
         ups_plan=ups_plan,
         post_plan=post_plan,
         resident=resident,
+        quantize=quantize_int8,
     )
 
     out_dtype = jnp.float32 if post is not None else io_dtype
     scratch_shapes = [pltpu.VMEM(buf_shape, io_dtype)]
     if not resident:
         scratch_shapes += [
-            pltpu.VMEM((2, max_nq, W, W), a_dtype),
+            pltpu.VMEM((2, max_nq, W, W), a_all.dtype),
         ]
     scratch_shapes += [pltpu.SemaphoreType.DMA]
     if not resident:
@@ -610,7 +669,7 @@ def fused_mrf(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (len(ups_inputs) + len(post_inputs)),
+        * (len(sw_inputs) + len(ups_inputs) + len(post_inputs)),
         out_specs=pl.BlockSpec(
             (1, Tp, out_w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
@@ -618,7 +677,7 @@ def fused_mrf(
         scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(xp, a_all, bias_all, *ups_inputs, *post_inputs)
+    )(xp, a_all, bias_all, *sw_inputs, *ups_inputs, *post_inputs)
     return out.reshape(B, L, C_out_final)
 
 

@@ -41,6 +41,12 @@ def main(argv=None):
     parser.add_argument("--ckpt-dir", default=None, type=Path)
     parser.add_argument("--hifigan-ckpt", default=None, type=Path)
     parser.add_argument(
+        "--quality", action="store_true",
+        help="maximum-fidelity vocoder route (float32 everywhere) — the "
+        "escape hatch from the default low-precision serving path; "
+        "equivalent to --set hifigan.inference_dtype=float32",
+    )
+    parser.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         help="config override, e.g. --set dsp.sample_rate=16000",
     )
@@ -55,6 +61,10 @@ def main(argv=None):
     from viettts_tpu.text import normalize_text
 
     cfg = apply_overrides(Config(), args.set)
+    if args.quality:
+        cfg = cfg.replace(
+            hifigan=cfg.hifigan.replace(inference_dtype="float32")
+        )
     if args.ckpt_dir is not None:
         cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
 
