@@ -78,15 +78,17 @@ def main():
     if cfg.hifigan.fused_inference and jax.default_backend() != "cpu":
         from viettts_tpu.models.hifigan import generator_apply_fused
 
+        voc_quant = cfg.hifigan.inference_dtype == "int8"
         voc_dtype = (
             jnp.bfloat16
-            if cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
+            if voc_quant or cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
             else jnp.float32
         )
         hifi_params = gvars["params"]
         vocode = jax.jit(
             lambda _v, mel: generator_apply_fused(
-                cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype
+                cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype,
+                quantize_int8=voc_quant,
             )
         )
     else:

@@ -6,6 +6,7 @@ full pipeline and for the vocoder alone, using the chained-dispatch
 methodology from bench.py.  Writes benchmarks/batch_results.json.
 """
 
+import argparse
 import json
 import time
 from functools import partial
@@ -38,12 +39,26 @@ def amortized(step, iters=K, trials=3):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--vocoder-dtype", default=None,
+        choices=["float32", "bfloat16", "int8"],
+        help="override hifigan.inference_dtype for the serving route",
+    )
+    args = parser.parse_args()
+
     from viettts_tpu.config import Config
     from viettts_tpu.models import AcousticModel, DurationModel, Generator
     from viettts_tpu.models.hifigan import generator_apply_fused
     from viettts_tpu.types import AcousticBatch, DurationBatch
 
     cfg = Config()
+    if args.vocoder_dtype is not None:
+        from viettts_tpu.config import apply_overrides
+
+        cfg = apply_overrides(
+            cfg, [f"hifigan.inference_dtype={args.vocoder_dtype}"]
+        )
     rng = np.random.RandomState(0)
     toks = jnp.asarray(rng.randint(0, 93, (BATCH, N_TOKENS)), jnp.int32)
     lengths = jnp.asarray([N_TOKENS] * BATCH, jnp.int32)
@@ -94,15 +109,17 @@ def main():
     mel0 = jnp.zeros((BATCH, N_FRAMES, 80))
     gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), mel0)
     hifi_params = gvars["params"]
+    voc_quant = cfg.hifigan.inference_dtype == "int8"
     voc_dtype = (
         jnp.bfloat16
-        if cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
+        if voc_quant or cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
         else jnp.float32
     )
     if jax.default_backend() != "cpu":
         vocode = jax.jit(
             lambda mel: generator_apply_fused(
-                cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype
+                cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype,
+                quantize_int8=voc_quant,
             )
         )
     else:
@@ -134,6 +151,33 @@ def main():
     t_full = amortized(full)
     t_voc = amortized(voc_only)
 
+    # Quality bound for the low-precision route: waveform relative RMS
+    # error vs the float32 fused route on a non-trivial mel (cf. the bf16
+    # note in docs/BUILD_NOTES.md).
+    quality = None
+    if jax.default_backend() != "cpu" and (
+        voc_quant or voc_dtype != jnp.float32
+    ):
+        melq = jnp.asarray(
+            rng.randn(2, N_FRAMES, 80).astype(np.float32) * 0.5
+        )
+        wav_ref = np.asarray(
+            jax.jit(
+                lambda m: generator_apply_fused(cfg.hifigan, hifi_params, m)
+            )(melq),
+            np.float32,
+        )
+        wav_lp = np.asarray(vocode(melq), np.float32)
+        rms = float(np.sqrt((wav_ref**2).mean()))
+        quality = {
+            "waveform_rel_rms_error_vs_f32": float(
+                np.sqrt(((wav_lp - wav_ref) ** 2).mean()) / max(rms, 1e-12)
+            ),
+            "waveform_max_abs_error_vs_f32": float(
+                np.abs(wav_lp - wav_ref).max()
+            ),
+        }
+
     from viettts_tpu.utils.flops import (
         generator_actual_flops,
         generator_flops,
@@ -150,7 +194,8 @@ def main():
         "full_pipeline_audio_secs_per_sec": audio_secs / t_full,
         "vocoder_ms": t_voc * 1e3,
         "vocoder_samples_per_sec": BATCH * N_FRAMES * 256 / t_voc,
-        "vocoder_dtype": str(np.dtype(voc_dtype)),
+        "vocoder_dtype": cfg.hifigan.inference_dtype,
+        "vocoder_quality": quality,
         "mfu": {
             "pipeline": mfu_report(
                 pipeline_flops(cfg, N_TOKENS, N_FRAMES, BATCH), t_full

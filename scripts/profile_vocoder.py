@@ -42,7 +42,8 @@ def amortized(step, iters=K, trials=3, *args):
 
 
 def main(batch=8, n_frames=1024, dtype="float32"):
-    cd = jnp.dtype(dtype)
+    quant = dtype == "int8"
+    cd = jnp.dtype(jnp.bfloat16 if quant else dtype)
     cfg = Config().hifigan
     gen = Generator(cfg)
     mel0 = jnp.zeros((batch, n_frames, 80), cd)
@@ -109,6 +110,7 @@ def main(batch=8, n_frames=1024, dtype="float32"):
                 lambda z, w=weights: fused_mrf(
                     z, w, cfg.resblock_kernel_sizes,
                     cfg.resblock_dilation_sizes, compute_dtype=cd,
+                    quantize_int8=quant,
                 )
             )(x)
         else:
@@ -157,6 +159,7 @@ def main(batch=8, n_frames=1024, dtype="float32"):
                         (z + dep * 0).astype(cd), w,
                         cfg.resblock_kernel_sizes,
                         cfg.resblock_dilation_sizes, compute_dtype=cd,
+                        quantize_int8=quant,
                     )[0, 0, 0]
                 ),
                 K, 3, xup,
@@ -174,6 +177,7 @@ def main(batch=8, n_frames=1024, dtype="float32"):
                             u,
                         ),
                         compute_dtype=cd,
+                        quantize_int8=quant,
                     )[0, 0, 0]
                 ),
                 K, 3, xin,

@@ -21,7 +21,16 @@ python -m viettts_tpu.tools.convert_torch_hifigan \
   --checkpoint-file "$HIFI_DIR/g_01140000" \
   --output-file "$CKPT_DIR/hifigan_latest_ckpt.pickle"
 
+# The lexicon is generated, not shipped: the reference's lexicon is purely
+# character-level and our builder reproduces it exactly from any word list
+# (tests/test_frontend.py::test_char_fallback_reproduces_reference_lexicon).
+python -m viettts_tpu.tools.build_lexicon \
+  -i assets/transcript.txt -o assets/infore/lexicon.txt
+
+# Long-form demo over the in-repo transcript (reference quick_start.sh
+# reads assets/transcript.txt the same way).
 python -m viettts_tpu.synthesizer \
-  --text "hôm qua em tới trường, mẹ dắt tay từng bước" \
-  --output clip.wav --ckpt-dir "$CKPT_DIR"
+  --text "$(cat assets/transcript.txt)" \
+  --output clip.wav --ckpt-dir "$CKPT_DIR" \
+  --lexicon-file assets/infore/lexicon.txt --silence-duration 0.2
 echo "wrote clip.wav"

@@ -136,6 +136,55 @@ def test_warmup(synth):
     assert r.wave is not None
 
 
+def test_quality_flag_and_int8_routing(tiny_cfg, ckpt_dir, monkeypatch):
+    """hifigan.inference_dtype routes the vocoder (int8 -> quantized MRF on
+    bf16 storage; float32 -> full fidelity), and the CLI --quality escape
+    hatch forces the float32 route over any --set."""
+    from viettts_tpu import synthesizer as cli
+    from viettts_tpu.config import apply_overrides
+    from viettts_tpu.infer import pipeline as pipeline_mod
+
+    cfg = apply_overrides(
+        tiny_cfg.replace(ckpt_dir=ckpt_dir), ["hifigan.inference_dtype=int8"]
+    )
+    s = pipeline_mod.Synthesizer(cfg)
+    assert s._vocoder_quant is True
+    assert s._vocoder_dtype == jnp.bfloat16
+
+    s32 = pipeline_mod.Synthesizer(
+        apply_overrides(cfg, ["hifigan.inference_dtype=float32"])
+    )
+    assert s32._vocoder_quant is False
+    assert s32._vocoder_dtype == jnp.float32
+
+    seen = {}
+
+    class FakeSynth:
+        def __init__(self, cfg, **kwargs):
+            seen["cfg"] = cfg
+
+        def synthesize(self, text, silence_duration=-1):
+            from viettts_tpu.infer.pipeline import SynthesisResult
+
+            return SynthesisResult(
+                wave=np.zeros(16, np.float32),
+                mel=np.zeros((2, 80), np.float32),
+                durations=np.zeros(1, np.float32),
+            )
+
+    monkeypatch.setattr(pipeline_mod, "Synthesizer", FakeSynth)
+    rc = cli.main(
+        [
+            "--text", "ba",
+            "--output", "/dev/null",
+            "--quality",
+            "--set", "hifigan.inference_dtype=int8",
+        ]
+    )
+    assert rc == 0
+    assert seen["cfg"].hifigan.inference_dtype == "float32"
+
+
 def test_cli_single(tiny_cfg, ckpt_dir, tmp_path, monkeypatch):
     from viettts_tpu import synthesizer as cli
     import viettts_tpu.config as config_mod

@@ -62,9 +62,7 @@ def main(argv=None):
 
     cfg = apply_overrides(Config(), args.set)
     if args.quality:
-        cfg = cfg.replace(
-            hifigan=cfg.hifigan.replace(inference_dtype="float32")
-        )
+        cfg = apply_overrides(cfg, ["hifigan.inference_dtype=float32"])
     if args.ckpt_dir is not None:
         cfg = cfg.replace(ckpt_dir=args.ckpt_dir)
 
