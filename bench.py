@@ -85,10 +85,25 @@ def main():
             else jnp.float32
         )
         hifi_params = gvars["params"]
+        act_scales = None
+        if voc_quant:
+            # Mirror serving: Synthesizer.warmup() calibrates static int8
+            # activation scales before compiling the serving programs.
+            from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+            cal_mel = jnp.asarray(
+                rng.randn(1, N_FRAMES, cfg.acoustic.mel_dim).astype(
+                    np.float32
+                )
+                * 0.5
+            )
+            act_scales = jax.jit(
+                lambda m: generator_calibrate_int8(cfg.hifigan, hifi_params, m)
+            )(cal_mel)
         vocode = jax.jit(
             lambda _v, mel: generator_apply_fused(
                 cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype,
-                quantize_int8=voc_quant,
+                quantize_int8=voc_quant, act_scales=act_scales,
             )
         )
     else:

@@ -45,6 +45,12 @@ def main():
         choices=["float32", "bfloat16", "int8"],
         help="override hifigan.inference_dtype for the serving route",
     )
+    parser.add_argument(
+        "--int8-static", action="store_true",
+        help="use calibrated static activation scales for the int8 route "
+        "(generator_calibrate_int8 on a held-in mel; quality is still "
+        "measured on a held-out mel)",
+    )
     args = parser.parse_args()
 
     from viettts_tpu.config import Config
@@ -115,11 +121,21 @@ def main():
         if voc_quant or cfg.hifigan.inference_dtype in ("bfloat16", "bf16")
         else jnp.float32
     )
+    act_scales = None
+    if voc_quant and args.int8_static and jax.default_backend() != "cpu":
+        from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+        cal_mel = jnp.asarray(
+            rng.randn(4, N_FRAMES, 80).astype(np.float32) * 0.5
+        )
+        act_scales = jax.jit(
+            lambda m: generator_calibrate_int8(cfg.hifigan, hifi_params, m)
+        )(cal_mel)
     if jax.default_backend() != "cpu":
         vocode = jax.jit(
             lambda mel: generator_apply_fused(
                 cfg.hifigan, hifi_params, mel, compute_dtype=voc_dtype,
-                quantize_int8=voc_quant,
+                quantize_int8=voc_quant, act_scales=act_scales,
             )
         )
     else:
@@ -195,6 +211,11 @@ def main():
         "vocoder_ms": t_voc * 1e3,
         "vocoder_samples_per_sec": BATCH * N_FRAMES * 256 / t_voc,
         "vocoder_dtype": cfg.hifigan.inference_dtype,
+        "int8_scales": (
+            ("static" if act_scales is not None else "dynamic")
+            if voc_quant
+            else None
+        ),
         "vocoder_quality": quality,
         "mfu": {
             "pipeline": mfu_report(

@@ -429,3 +429,113 @@ def test_fused_generator_int8_close_to_f32():
     rms = float(np.sqrt((ref ** 2).mean()))
     err = float(np.sqrt(((got - ref) ** 2).mean()))
     assert err / max(rms, 1e-6) < 0.05, (err, rms)
+
+
+def test_fused_mrf_int8_static_scales():
+    """Static calibrated activation scales match the dynamic-quant route
+    when calibrated on the same input, and degrade gracefully (clip, no
+    blowup) when the input exceeds the calibrated range."""
+    rng = np.random.RandomState(11)
+    B, L, C = 2, 512, 64
+    kernel_sizes = (3, 7)
+    dilations = ((1, 3), (1, 3))
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32) * 0.5)
+    weights = []
+    for kk in kernel_sizes:
+        weights.append(
+            (
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.01),
+                jnp.asarray(rng.randn(2, kk, C, C).astype(np.float32) * 0.05),
+                jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.01),
+            )
+        )
+    ref = np.asarray(
+        fused_mrf(x, weights, kernel_sizes, dilations, interpret=True),
+        np.float32,
+    )
+
+    # Calibrate per-conv amaxes with the same conv math/order (an inline
+    # mirror of generator_calibrate_int8's inner loop, square convs only).
+    def conv(z, w, b, d):
+        p = (w.shape[0] - 1) // 2 * d
+        return jax.lax.conv_general_dilated(
+            z, w, (1,), ((p, p),), rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + b
+
+    amaxes = []
+    acc = None
+    for (w1, b1, w2, b2), kk, dils in zip(weights, kernel_sizes, dilations):
+        r = x
+        for di, d in enumerate(dils):
+            y = jax.nn.leaky_relu(r, 0.1)
+            amaxes.append(jnp.max(jnp.abs(y)))
+            y = conv(y, w1[di], b1[di], d)
+            y = jax.nn.leaky_relu(y, 0.1)
+            amaxes.append(jnp.max(jnp.abs(y)))
+            y = conv(y, w2[di], b2[di], 1)
+            r = y + r
+        acc = r if acc is None else acc + r
+    act = jnp.stack(amaxes)
+
+    got = np.asarray(
+        fused_mrf(
+            x, weights, kernel_sizes, dilations, interpret=True,
+            quantize_int8=True, act_scales=act,
+        ),
+        np.float32,
+    )
+    rms = float(np.sqrt((ref ** 2).mean()))
+    err = float(np.sqrt(((got - ref) ** 2).mean()))
+    assert err / rms < 0.03, (err, rms)
+
+    # 4x out-of-calibration input: clipped, bounded error, no NaN/blowup.
+    x4 = x * 4.0
+    ref4 = np.asarray(
+        fused_mrf(x4, weights, kernel_sizes, dilations, interpret=True),
+        np.float32,
+    )
+    got4 = np.asarray(
+        fused_mrf(
+            x4, weights, kernel_sizes, dilations, interpret=True,
+            quantize_int8=True, act_scales=act,
+        ),
+        np.float32,
+    )
+    assert np.isfinite(got4).all()
+    rms4 = float(np.sqrt((ref4 ** 2).mean()))
+    err4 = float(np.sqrt(((got4 - ref4) ** 2).mean()))
+    assert err4 / rms4 < 0.5, (err4, rms4)
+
+
+def test_generator_int8_static_calibration():
+    """generator_calibrate_int8's flat conv order matches the fused
+    kernel's quantization order: calibrated static scales reproduce the
+    f32 generator within quantization tolerance end to end."""
+    from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+    cfg = HifiGanConfig(
+        upsample_rates=(8, 2),
+        upsample_kernel_sizes=(16, 4),
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    gen = Generator(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(12).randn(2, 16, 80).astype(np.float32)
+    )
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    scales = generator_calibrate_int8(cfg, variables["params"], mel)
+    assert set(scales) == {0, 1}
+    ref = generator_apply_fused(cfg, variables["params"], mel, interpret=True)
+    got = generator_apply_fused(
+        cfg, variables["params"], mel, interpret=True,
+        compute_dtype=jnp.bfloat16, quantize_int8=True, act_scales=scales,
+    )
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    rms = float(np.sqrt((ref ** 2).mean()))
+    err = float(np.sqrt(((got - ref) ** 2).mean()))
+    assert err / max(rms, 1e-6) < 0.05, (err, rms)

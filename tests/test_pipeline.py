@@ -740,3 +740,34 @@ def test_warmup_covers_all_token_buckets(tiny_cfg, ckpt_dir):
     assert {sig[0][0][1] for sig in seen} == {8, 16}
     # warmed signatures must be strong-typed (what real dispatch passes)
     assert all(not weak for sig in seen for _, _, weak in sig)
+
+
+def test_calibrate_int8_surface(tiny_cfg, ckpt_dir):
+    """calibrate_int8 is a no-op on the CPU backend (returns False) and
+    manually-installed static scales rebind a working vocoder program."""
+    from viettts_tpu.config import apply_overrides
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+    cfg = apply_overrides(
+        tiny_cfg.replace(ckpt_dir=ckpt_dir), ["hifigan.inference_dtype=int8"]
+    )
+    s = Synthesizer(cfg)
+    assert s.calibrate_int8() is False  # CPU backend: dynamic route stays
+    assert s._act_scales is None
+
+    # Install scales by hand (what calibrate_int8 does on device backends)
+    # and check the rebound vocoder still reproduces the dynamic route.
+    mel = jnp.asarray(
+        np.random.RandomState(3).randn(1, 16, 80).astype(np.float32)
+    )
+    ref = s.vocode(mel)
+    s._act_scales = generator_calibrate_int8(
+        cfg.hifigan, s._hifigan_vars["params"], mel
+    )
+    s._build_vocode()
+    got = s.vocode(mel)
+    assert got.shape == ref.shape
+    rms = float(np.sqrt((ref ** 2).mean()))
+    err = float(np.sqrt(((got - ref) ** 2).mean()))
+    assert err / max(rms, 1e-6) < 0.05, (err, rms)

@@ -153,14 +153,20 @@ class HifiGanConfig:
     # serving: use the Pallas fused-MRF generator path (numerically exact;
     # ~1.6x faster on TPU v5e).
     fused_inference: bool = True
-    # serving compute dtype ("float32" | "bfloat16").  bf16 selects bf16
+    # serving route ("float32" | "bfloat16" | "int8").  bf16 selects bf16
     # *storage* for activations and packed weights (halving HBM traffic —
     # matmul operands are already rounded to bf16 by the MXU at jax's
-    # DEFAULT precision either way).  Measured on v5e (round 3,
-    # scripts/tune_vocoder_batch.py): 1.37x at B=1 (6.97 vs 9.57 ms) and
-    # 1.21x at B=64 (283 vs 343 ms) over the f32 route, with relative
-    # waveform error ~0.7% rms (-43 dB; mean|dwave|/rms(wave)).
-    inference_dtype: str = "bfloat16"
+    # DEFAULT precision either way); waveform error ~0.7% rms (-43 dB).
+    # int8 additionally runs the MRF convs as int8 x int8 -> int32 MXU
+    # passes (2x the bf16 rate) on top of bf16 storage, with static
+    # activation scales calibrated at warmup (Synthesizer.calibrate_int8);
+    # waveform error 0.78% rms measured on a held-out mel.  int8 is the
+    # measured-fastest route at EVERY batch size (v5e,
+    # scripts/bench_b1_vocoder.py B=1 T=1024: 7.96 ms int8-static vs
+    # 9.67 bf16 vs 9.66 f32; scripts/bench_batch.py B=64: 3,668 vs 2,728
+    # s-audio/s) and is the default; the synthesizer CLI --quality flag
+    # forces float32.
+    inference_dtype: str = "int8"
 
     @property
     def total_upsample(self) -> int:

@@ -559,6 +559,7 @@ def generator_apply_fused(
     compute_dtype: Any = jnp.float32,
     fused_max_batch: int | None | str = "auto",
     quantize_int8: bool = False,
+    act_scales: dict | None = None,
 ) -> jax.Array:
     """Generator forward with fused Pallas MRF stages; see
     ``_generator_apply_fused_one``.
@@ -592,6 +593,11 @@ def generator_apply_fused(
     stages stay in ``compute_dtype``.  See ``fused_mrf(quantize_int8=)``
     for the scheme and HifiGanConfig.inference_dtype for the measured
     quality bound.
+
+    ``act_scales`` (optional, with ``quantize_int8``): per-stage
+    calibrated activation amaxes from ``generator_calibrate_int8`` —
+    switches the kernels to static activation scales (no per-tile amax
+    reduce; out-of-range inputs clip).
     """
     B = mel.shape[0]
     is_bf16 = jnp.dtype(compute_dtype) == jnp.bfloat16
@@ -612,6 +618,7 @@ def generator_apply_fused(
                     compute_dtype=compute_dtype,
                     fused_max_batch=fused_max_batch,
                     quantize_int8=quantize_int8,
+                    act_scales=act_scales,
                 ),
                 mels,
             )
@@ -619,7 +626,7 @@ def generator_apply_fused(
     return _generator_apply_fused_one(
         cfg, params, mel, interpret=interpret, fuse_upsample=fuse_upsample,
         compute_dtype=compute_dtype, fused_max_batch=fused_max_batch,
-        quantize_int8=quantize_int8,
+        quantize_int8=quantize_int8, act_scales=act_scales,
     )
 
 
@@ -633,6 +640,7 @@ def _generator_apply_fused_one(
     compute_dtype: Any = jnp.float32,
     fused_max_batch: int | None = 8,
     quantize_int8: bool = False,
+    act_scales: dict | None = None,
 ) -> jax.Array:
     """Generator forward with each stage's MRF resblock stack fused into a
     single Pallas kernel (viettts_tpu.ops.mrf) instead of 18 separate XLA
@@ -735,6 +743,7 @@ def _generator_apply_fused_one(
                         interpret=interpret,
                         compute_dtype=cd,
                         quantize_int8=quantize_int8,
+                        act_scales=(act_scales or {}).get(i),
                     )
                     post_done = last
                     continue
@@ -771,6 +780,7 @@ def _generator_apply_fused_one(
                     interpret=interpret,
                     compute_dtype=cd,
                     quantize_int8=quantize_int8,
+                    act_scales=(act_scales or {}).get(i),
                 )
                 post_done = last
                 continue
@@ -784,6 +794,7 @@ def _generator_apply_fused_one(
                         interpret=interpret,
                         compute_dtype=cd,
                         quantize_int8=quantize_int8,
+                        act_scales=(act_scales or {}).get(i),
                     )
                 except ValueError:
                     # tiny/tile-misaligned shapes (e.g. debug configs):
@@ -796,6 +807,74 @@ def _generator_apply_fused_one(
     x = jax.nn.leaky_relu(x)
     x = conv("conv_post", x, 7)
     return jnp.tanh(x.astype(jnp.float32))
+
+
+def generator_calibrate_int8(cfg: HifiGanConfig, params, mel: jax.Array):
+    """Per-conv activation amaxes for static int8 MRF quantization.
+
+    Runs the plain-XLA f32 generator on ``mel`` and records, for every MRF
+    conv of every stage, ``max|leaky_relu(conv input)|`` — in exactly the
+    flat conv order ``fused_mrf`` quantizes in (resblocks x dilation units
+    x convs per unit).  Returns ``{stage_index: [n_convs] f32}``; pass it
+    to ``generator_apply_fused(act_scales=...)``.  Calibrate on a
+    representative mel (e.g. a warmup synthesis at serving init); inputs
+    beyond a calibrated range are clipped by the kernel, so a single
+    representative batch suffices in practice (measured quality bound:
+    scripts/bench_batch.py ``vocoder_quality``).  Jit-compatible.
+    """
+    num_kernels = len(cfg.resblock_kernel_sizes)
+
+    def conv(name, x, k, dilation=1, sub=None):
+        entry = params[name] if sub is None else params[name][sub]
+        p = _same_pad(k, dilation)
+        y = jax.lax.conv_general_dilated(
+            x,
+            entry["kernel"].astype(jnp.float32),
+            window_strides=(1,),
+            padding=((p, p),),
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + entry["bias"].astype(jnp.float32)
+
+    x = conv("conv_pre", mel.astype(jnp.float32), 7)
+    scales: dict = {}
+    for i, u in enumerate(cfg.upsample_rates):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = (
+            jax.lax.conv_transpose(
+                x,
+                params[f"ups_{i}"]["kernel"].astype(jnp.float32),
+                strides=(u,),
+                padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32,
+            )
+            + params[f"ups_{i}"]["bias"].astype(jnp.float32)
+        )
+        amaxes = []
+        acc = None
+        for j, (rk, rd) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            block = f"resblock_{i * num_kernels + j}"
+            r = x
+            for di, d in enumerate(rd):
+                y = jax.nn.leaky_relu(r, LRELU_SLOPE)
+                amaxes.append(jnp.max(jnp.abs(y)))
+                if cfg.resblock == "1":
+                    y = conv(block, y, rk, dilation=d, sub=f"convs1_{di}")
+                    y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                    amaxes.append(jnp.max(jnp.abs(y)))
+                    y = conv(block, y, rk, dilation=1, sub=f"convs2_{di}")
+                else:
+                    y = conv(block, y, rk, dilation=d, sub=f"convs_{di}")
+                r = y + r
+            acc = r if acc is None else acc + r
+        x = acc / num_kernels
+        scales[i] = jnp.stack(amaxes)
+    return scales
 
 
 # ---------------------------------------------------------------------------

@@ -192,12 +192,15 @@ def _mrf_kernel(
     post_plan=None,  # offsets tuple when fusing lrelu+conv_post+tanh
     resident: bool = False,  # A-matrices fully VMEM-resident (no streaming)
     quantize: bool = False,  # int8 A-matrices + dynamic int8 activations
+    static_scales: bool = False,  # calibrated act scales (no amax reduce)
 ):
     rest = list(rest)
     ups_b_ref = ups_bias_ref = post_b_ref = post_bias_ref = None
-    sw_ref = None
+    sw_ref = inv_ref = None
     if quantize:
         sw_ref, rest = rest[0], rest[1:]
+        if static_scales:
+            inv_ref, rest = rest[0], rest[1:]
     if ups_plan is not None:
         ups_b_ref, ups_bias_ref = rest[:2]
         rest = rest[2:]
@@ -274,7 +277,17 @@ def _mrf_kernel(
         qmin, qmax = offsets[0], offsets[-1]
         left = max(0, -qmin)
         right = max(0, qmax)
-        if quantize:
+        if quantize and static_scales:
+            # Calibrated per-conv activation scale: no amax reduce (a
+            # cross-tile serialization point in the dynamic path), and the
+            # dequant multiplier act_scale/127 is folded into sw on the
+            # host.  Inputs beyond the calibrated range are clipped (the
+            # dynamic path never clips; here the scale is fixed).
+            inv = inv_ref[conv_counter[0], 0]
+            inp = jnp.round(
+                jnp.clip(inp * inv, -127.0, 127.0)
+            ).astype(jnp.int8)
+        elif quantize:
             # Dynamic per-tile symmetric int8 quantization of the conv
             # input: one scalar scale for the whole [Pp, W] tile keeps the
             # accumulation across q-offsets in int32 (a single dequant at
@@ -332,7 +345,10 @@ def _mrf_kernel(
                     preferred_element_type=jnp.float32,
                 )
             y = contrib if y is None else y + contrib
-        if quantize:
+        if quantize and static_scales:
+            # sw already carries act_scale/127 (folded on the host).
+            y = y.astype(jnp.float32) * sw_ref[conv_counter[0]]
+        elif quantize:
             # Dequant: x = xi * (amax/127), A = Ai * sw[col] (per-column
             # weight scales) => y = intdot * (amax/127) * sw.
             y = y.astype(jnp.float32) * (
@@ -435,6 +451,7 @@ def fused_mrf(
     io_dtype=None,
     resident_budget: int = 10 * 1024 * 1024,
     quantize_int8: bool = False,
+    act_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Apply the fused (ConvTranspose +) MRF (+ conv_post) stack.
 
@@ -474,6 +491,12 @@ def fused_mrf(
     conv_post stay in f32: only the 18 MRF convs are quantized (quantizing
     the ConvTranspose too was measured at 5.5x the waveform error for no
     speedup — see the kernel comment).
+
+    ``act_scales`` (with ``quantize_int8``) supplies a calibrated per-conv
+    input amax ([n_convs] in flat conv order, see
+    ``generator_calibrate_int8``): activation quantization then uses the
+    fixed scale (clipping above it) instead of a dynamic per-tile amax
+    reduce, removing the reduce barrier from every conv.
     """
     kernel_sizes = tuple(kernel_sizes)
     dilations = tuple(tuple(d) for d in dilations)
@@ -556,7 +579,25 @@ def fused_mrf(
             )
             sw_parts.append(s.astype(jnp.float32))
         a_all = jnp.concatenate(q_parts, axis=0)  # [N, W, W] int8
-        sw_inputs = (jnp.stack(sw_parts),)  # [n_convs, W]
+        sw_stack = jnp.stack(sw_parts)  # [n_convs, W]
+        if act_scales is not None:
+            # Static calibrated activation scales (see
+            # ``generator_calibrate_int8``): fold act_scale/127 into the
+            # dequant weights and hand the kernel the quant multipliers,
+            # so the dynamic amax reduce disappears from the conv chain.
+            act = jnp.asarray(act_scales, jnp.float32).reshape(-1)
+            if act.shape[0] != sw_stack.shape[0]:
+                raise ValueError(
+                    f"act_scales has {act.shape[0]} entries, stack has "
+                    f"{sw_stack.shape[0]} convs"
+                )
+            act = jnp.maximum(act, 1e-12)
+            sw_inputs = (
+                sw_stack * (act[:, None] / 127.0),
+                (127.0 / act)[:, None],  # [n_convs, 1] quant multipliers
+            )
+        else:
+            sw_inputs = (sw_stack,)
     else:
         a_all = jnp.concatenate(a_parts, axis=0).astype(a_dtype)  # [N, W, W]
     bias_all = jnp.stack(biases)  # [n_convs, W] (biases stay f32)
@@ -645,6 +686,7 @@ def fused_mrf(
         post_plan=post_plan,
         resident=resident,
         quantize=quantize_int8,
+        static_scales=quantize_int8 and act_scales is not None,
     )
 
     out_dtype = jnp.float32 if post is not None else io_dtype
