@@ -137,14 +137,42 @@ def main(stage=1, batch=16, n_frames=768):
         )
     )
 
+    routes = [("XLA", f_xla), ("hybrid", f_hyb), ("fused", f_fus)]
+    if "--int8" in sys.argv:
+        # int8-quantized fused routes (dynamic and static scales), for
+        # probing stages the serving router keeps on XLA (e.g. stage 0).
+        f_q = jax.jit(
+            lambda s, x: fused_mrf(
+                x + s.astype(cd) * 0, weights,
+                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes,
+                upsample=ups, compute_dtype=cd,
+                resident_budget=RESIDENT_BUDGET, quantize_int8=True,
+            )
+        )
+        from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+        scales = jax.jit(
+            lambda m: generator_calibrate_int8(cfg, params, m)
+        )(jnp.asarray(rng.randn(2, n_frames, 80).astype(np.float32) * 0.5))
+        f_qs = jax.jit(
+            lambda s, x: fused_mrf(
+                x + s.astype(cd) * 0, weights,
+                cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes,
+                upsample=ups, compute_dtype=cd,
+                resident_budget=RESIDENT_BUDGET, quantize_int8=True,
+                act_scales=scales[stage],
+            )
+        )
+        routes += [("int8", f_q), ("int8st", f_qs)]
+
     if "--check" in sys.argv:
         ref = np.asarray(f_xla(jnp.float32(0), x0[:2]), np.float32)
-        for name, f in (("hybrid", f_hyb), ("fused", f_fus)):
+        for name, f in routes[1:]:
             out = np.asarray(f(jnp.float32(0), x0[:2]), np.float32)
             d = np.max(np.abs(out - ref)) / max(np.max(np.abs(ref)), 1e-6)
             print(f"{name:6s} rel max|delta| vs XLA: {d:.3e}", flush=True)
 
-    for name, f in (("XLA", f_xla), ("hybrid", f_hyb), ("fused", f_fus)):
+    for name, f in routes:
         t = amortized(lambda s, x, f=f: f(s, x)[0, 0, 0], x0)
         print(
             f"stage{stage} C={ch} {name:6s}: {t*1e3:8.2f} ms"

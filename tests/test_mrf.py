@@ -539,3 +539,69 @@ def test_generator_int8_static_calibration():
     rms = float(np.sqrt((ref ** 2).mean()))
     err = float(np.sqrt(((got - ref) ** 2).mean()))
     assert err / max(rms, 1e-6) < 0.05, (err, rms)
+
+
+def test_fused_mrf_int8_wide_channels():
+    """The g=1 wide-channel path (C=256, C_in=512 ConvT fusion — the
+    production stage-0 shape class) under int8 quantization with static
+    scales stays within quantization tolerance of f32."""
+    rng = np.random.RandomState(13)
+    B, L_in, C_in, C, u = 1, 128, 512, 256, 8
+    kernel_sizes = (3,)
+    dilations = ((1, 3),)
+    x = jnp.asarray(rng.randn(B, L_in, C_in).astype(np.float32) * 0.5)
+    w_t = jnp.asarray(rng.randn(16, C_in, C).astype(np.float32) * 0.02)
+    b_t = jnp.asarray(rng.randn(C).astype(np.float32) * 0.01)
+    weights = [
+        (
+            jnp.asarray(rng.randn(2, 3, C, C).astype(np.float32) * 0.02),
+            jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.01),
+            jnp.asarray(rng.randn(2, 3, C, C).astype(np.float32) * 0.02),
+            jnp.asarray(rng.randn(2, C).astype(np.float32) * 0.01),
+        )
+    ]
+    kw = dict(upsample=(w_t, b_t, u), interpret=True)
+    ref = np.asarray(
+        fused_mrf(x, weights, kernel_sizes, dilations, **kw), np.float32
+    )
+    got_dyn = np.asarray(
+        fused_mrf(
+            x, weights, kernel_sizes, dilations, quantize_int8=True, **kw
+        ),
+        np.float32,
+    )
+    # static scales: calibrate per-conv amaxes with the same conv math
+    def conv(z, w, b, d):
+        p = (w.shape[0] - 1) // 2 * d
+        return jax.lax.conv_general_dilated(
+            z, w, (1,), ((p, p),), rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + b
+
+    xin = jax.nn.leaky_relu(x, 0.1)
+    xu = jax.lax.conv_transpose(
+        xin, w_t, strides=(u,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + b_t
+    amaxes = []
+    (w1, b1, w2, b2), = weights
+    r = xu
+    for di, d in enumerate(dilations[0]):
+        y = jax.nn.leaky_relu(r, 0.1)
+        amaxes.append(jnp.max(jnp.abs(y)))
+        y = conv(y, w1[di], b1[di], d)
+        y = jax.nn.leaky_relu(y, 0.1)
+        amaxes.append(jnp.max(jnp.abs(y)))
+        y = conv(y, w2[di], b2[di], 1)
+        r = y + r
+    got_st = np.asarray(
+        fused_mrf(
+            x, weights, kernel_sizes, dilations, quantize_int8=True,
+            act_scales=jnp.stack(amaxes), **kw
+        ),
+        np.float32,
+    )
+    rms = float(np.sqrt((ref ** 2).mean()))
+    for got in (got_dyn, got_st):
+        err = float(np.sqrt(((got - ref) ** 2).mean()))
+        assert err / rms < 0.03, (err, rms)

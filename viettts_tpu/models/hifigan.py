@@ -701,12 +701,15 @@ def _generator_apply_fused_one(
         # large batch (16.7 vs 17.7 ms at B=8); narrower stages always fuse.
         # ``fused_max_batch=None`` lifts the C=128 cap (weight-resident
         # kernel, re-measured via scripts/tune_vocoder_batch.py).
-        # Stage 0 (C=256) deliberately stays on XLA: the kernel supports
+        # Stage 0 (C=256) stays on XLA for f32/bf16: the kernel supports
         # C % 128 == 0 (g=1, zero packing overhead), but XLA's bf16 convs
         # already run at ~92% of bf16 peak there and win the measurement
         # (scripts/profile_stage.py, B=16 T=768 bf16: XLA 9.16 ms vs
         # fused 10.04 / hybrid 10.56); at C<=128 the fused kernel wins
-        # (stage 3: fused 20.3 vs XLA 53.6 ms).
+        # (stage 3: fused 20.3 vs XLA 53.6 ms).  Under int8 the picture
+        # flips — the quantized fused kernel halves the MXU passes that
+        # XLA bf16 cannot (stage 0, B=64 T=768: int8-static 24.2 ms vs
+        # XLA 35.5), so every 128-divisible stage routes to the kernel.
         use_fused = (
             ch <= 128
             and (128 % ch == 0)
@@ -715,7 +718,7 @@ def _generator_apply_fused_one(
                 or fused_max_batch is None
                 or batch < fused_max_batch
             )
-        )
+        ) or (quantize_int8 and ch % 128 == 0)
         if use_fused:
             weights = mrf_weights_from_params(params, i, num_kernels)
             # On the last stage also fuse the generator tail

@@ -154,11 +154,16 @@ def generator_actual_flops(cfg, n_frames, batch=1):
     MFU against *this* count measures distance from the kernel's MXU
     roofline; MFU against :func:`generator_flops` measures how much of
     the paid compute is algorithmically necessary.  Stages routed to XLA
-    (C > 128) are counted algorithmically.
+    are counted algorithmically.  On the int8 route
+    (``inference_dtype="int8"``) wide 128-divisible stages (e.g. stage 0,
+    C=256) also fuse, at g=1: their square MRF convs issue exactly the
+    algorithmic MACs (no packing waste), the fused ConvTranspose issues
+    its packed-offset count.
     """
     from viettts_tpu.ops.mrf import _pack_offsets
 
     h = cfg if hasattr(cfg, "upsample_rates") else cfg.hifigan
+    int8_route = getattr(h, "inference_dtype", "") == "int8"
     C0 = h.upsample_initial_channel
     L = n_frames
     f = _conv1d(L, h.mel_dim, C0, 7, batch)
@@ -167,8 +172,10 @@ def generator_actual_flops(cfg, n_frames, batch=1):
     for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
         c_out = C0 // (2 ** (i + 1))
         L *= u
-        fused = c_out <= 128 and 128 % c_out == 0
-        g = 128 // c_out if fused else 1
+        fused = (c_out <= 128 and 128 % c_out == 0) or (
+            int8_route and c_out % 128 == 0
+        )
+        g = max(1, 128 // c_out) if fused else 1
         if not fused:
             f += 2 * batch * L * c_in * c_out * (k / u)
         else:
@@ -183,15 +190,17 @@ def generator_actual_flops(cfg, n_frames, batch=1):
                 dils = (d,) if h.resblock != "1" else (d, 1)
                 for dc in dils:
                     if fused:
+                        W = g * c_out
                         nq = len(_pack_offsets(rk, dc, g)[0])
-                        f += 2 * batch * (L // g) * nq * 128 * 128
+                        f += 2 * batch * (L // g) * nq * W * W
                     else:
                         f += _conv1d(L, c_out, c_out, rk, batch)
         if i == n_stages - 1 and fused:
-            # conv_post epilogue: nq matmuls [*,128]@[128, g*C_post]; the
+            # conv_post epilogue: nq matmuls [*, W]@[W, g*C_post]; the
             # MXU pads the narrow N to a full 128-lane tile
+            W = g * c_out
             nq = len(_pack_offsets(7, 1, g)[0])
-            f += 2 * batch * (L // g) * nq * 128 * max(g, 128)
+            f += 2 * batch * (L // g) * nq * W * max(g, 128)
         c_in = c_out
     if not (c_in <= 128 and 128 % c_in == 0):
         f += _conv1d(L, c_in, 1, 7, batch)
