@@ -15,14 +15,32 @@ Pass criteria printed at the end: mel_l1 decreased by >=30% from its
 first-50-step average, and neither loss is NaN/diverging.
 
 Usage: PYTHONPATH=.:$PYTHONPATH python scripts/validate_gan.py [steps] [--gta]
+       [--resume] [--corpus=N]
+
+``--corpus=N`` grows the corpus to N clips (default 48).  Clips come
+from one sequential seed-0 stream, so a grown corpus EXTENDS the old
+one — round 4's held-out-MCD plateau (~26 dB at 13k steps) was a
+48-clip generalization gap, not a capacity limit.
 
 ``--gta`` exercises the GTA-finetune path instead: conditioning mels are
 precomputed per utterance (here from ground-truth audio, standing in for
 acoustic-model GTA exports), written in the tools/gta.py [D, T] npy
 format, and the trainer runs mel-conditioned.  Results go to
 benchmarks/gan_training_gta.json (no PNG/sample artifacts).
+
+``--resume`` continues from /tmp/gan_ckpt/hifigan_latest_ckpt.pickle
+instead of wiping it; ``steps`` is then the TOTAL target step count.
+Resumed runs use lr_decay_steps=819 (the upstream LJSpeech-scale epoch:
+13100 clips / batch 16) so the 0.999-per-epoch decay matches the
+schedule the recipe was calibrated for — the dataset-epoch default
+collapses the LR on this 48-clip corpus (see HifiGanConfig).
+
+The MCD probe clip is generated with an rng seed outside the corpus
+stream and is never trained on — held-out MCD is honest (the round-4
+run probed sorted(corpus)[-1], which WAS in the training set).
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -40,28 +58,49 @@ SR = 16000
 OUT = Path("benchmarks")
 
 
+def _synth_clip(rng, t):
+    """One speech-like clip: voiced harmonics with moving f0, syllabic
+    amplitude modulation, pauses, and unvoiced noise bursts."""
+    f0 = 90 + 60 * rng.rand() + 30 * np.sin(2 * np.pi * (0.5 + rng.rand()) * t)
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    voiced = sum(
+        (0.6 / h) * np.sin(h * phase + rng.rand() * 6.28)
+        for h in range(1, 9)
+    )
+    # amplitude envelope: syllable-ish 3-6 Hz modulation with pauses
+    env = np.clip(np.sin(2 * np.pi * (3 + 3 * rng.rand()) * t + rng.rand() * 6), 0, None)
+    gate = (np.sin(2 * np.pi * 0.7 * t + rng.rand() * 6) > -0.4).astype(np.float64)
+    sig = voiced * env * gate
+    # unvoiced noise bursts
+    noise = rng.randn(len(t)) * 0.15
+    burst = (np.sin(2 * np.pi * 1.3 * t + rng.rand() * 6) > 0.8).astype(np.float64)
+    sig = sig + noise * burst
+    return 0.6 * sig / max(np.abs(sig).max(), 1e-6)
+
+
 def synth_corpus(d: Path, n: int = 48, seconds: float = 2.0):
     """Speech-like synthetic clips: voiced harmonic segments with moving
-    f0 + formant-ish filtering, separated by silences and noise bursts."""
+    f0 + formant-ish filtering, separated by silences and noise bursts.
+
+    Clips are drawn sequentially from one seed-0 stream, so growing ``n``
+    EXTENDS the corpus (the first 48 clips are identical to the round-4
+    corpus) — a resumed checkpoint keeps its training distribution and
+    gains new samples.  The held-out probe (seed 12345) stays disjoint."""
     rng = np.random.RandomState(0)
     t = np.arange(int(SR * seconds)) / SR
     for i in range(n):
-        f0 = 90 + 60 * rng.rand() + 30 * np.sin(2 * np.pi * (0.5 + rng.rand()) * t)
-        phase = 2 * np.pi * np.cumsum(f0) / SR
-        voiced = sum(
-            (0.6 / h) * np.sin(h * phase + rng.rand() * 6.28)
-            for h in range(1, 9)
-        )
-        # amplitude envelope: syllable-ish 3-6 Hz modulation with pauses
-        env = np.clip(np.sin(2 * np.pi * (3 + 3 * rng.rand()) * t + rng.rand() * 6), 0, None)
-        gate = (np.sin(2 * np.pi * 0.7 * t + rng.rand() * 6) > -0.4).astype(np.float64)
-        sig = voiced * env * gate
-        # unvoiced noise bursts
-        noise = rng.randn(len(t)) * 0.15
-        burst = (np.sin(2 * np.pi * 1.3 * t + rng.rand() * 6) > 0.8).astype(np.float64)
-        sig = sig + noise * burst
-        sig = 0.6 * sig / max(np.abs(sig).max(), 1e-6)
-        write_wav(d / f"syn{i:03d}.wav", sig.astype(np.float32), SR)
+        out = d / f"syn{i:03d}.wav"
+        clip = _synth_clip(rng, t).astype(np.float32)
+        if not out.exists():
+            write_wav(out, clip, SR)
+
+
+def heldout_clip(seconds: float = 2.0) -> np.ndarray:
+    """A probe clip from the same distribution but an rng stream the
+    corpus never touches (seed 12345) — genuinely held out."""
+    rng = np.random.RandomState(12345)
+    t = np.arange(int(SR * seconds)) / SR
+    return _synth_clip(rng, t).astype(np.float32)
 
 
 def make_gta_mels(corpus: Path, gta_dir: Path, cfg) -> None:
@@ -86,22 +125,28 @@ def make_gta_mels(corpus: Path, gta_dir: Path, cfg) -> None:
         np.save(out, mel.T)  # [D, T] like tools/gta.py
 
 
-def main(steps=600, gta=False):
+def main(steps=600, gta=False, resume=False, corpus_n=48):
     OUT.mkdir(exist_ok=True)
     corpus = Path("/tmp/gan_corpus")
     corpus.mkdir(exist_ok=True)
-    if len(list(corpus.glob("*.wav"))) < 48:
-        synth_corpus(corpus)
+    if len(list(corpus.glob("*.wav"))) < corpus_n:
+        synth_corpus(corpus, n=corpus_n)
 
     ckpt_dir = Path("/tmp/gan_ckpt")
     ckpt_dir.mkdir(exist_ok=True)
-    for old in ckpt_dir.glob("*"):
-        old.unlink()
+    if not resume:
+        for old in ckpt_dir.glob("*"):
+            old.unlink()
 
     cfg = Config(
         train=TrainConfig(batch_size=16, num_training_steps=steps),
         ckpt_dir=ckpt_dir,
     )
+    if resume:
+        # upstream LJSpeech-scale LR-decay epoch; see module docstring
+        cfg = cfg.replace(
+            hifigan=dataclasses.replace(cfg.hifigan, lr_decay_steps=819)
+        )
 
     gta_dir = None
     if gta:
@@ -114,7 +159,11 @@ def main(steps=600, gta=False):
     sample_t = []  # (step, dispatch wall-time): backpressure makes the
     # dispatch rate track the device step rate at steady state
 
+    first_step: list = []
+
     def on_metrics(step, metrics):
+        if not first_step:
+            first_step.append(step)
         # device arrays; fetching every step would sync the tunnel — sample
         if step % 10 == 0 or step <= 50:
             history["step"].append(step)
@@ -133,8 +182,8 @@ def main(steps=600, gta=False):
     from viettts_tpu.utils.metrics import mel_cepstral_distortion
 
     mel_fn_val = LogMelSpectrogram(cfg.dsp)
-    _, held = read_wav(sorted(corpus.glob("*.wav"))[-1])
-    held = (held.astype(np.float32) / 2**15)[: SR * 2 // 256 * 256]
+    # never-trained probe clip (seed 12345, outside the corpus stream)
+    held = heldout_clip()[: SR * 2 // 256 * 256]
     held_j = jnp.asarray(held)
     gen_wn = GenModule(
         cfg.hifigan, use_wn=True,
@@ -173,9 +222,12 @@ def main(steps=600, gta=False):
 
     mel = np.asarray(history["mel_l1"])
     st = np.asarray(history["step"])
-    early = mel[st <= 50].mean()
+    start_step = first_step[0] - 1 if first_step else 0
+    early = mel[st <= start_step + 50].mean()
     late = mel[st > steps - 150].mean()
-    ok_decrease = late < 0.7 * early
+    # a resumed run starts from an already-converged mel_l1; require
+    # non-divergence rather than another 30% drop
+    ok_decrease = late < (early if resume else 0.7 * early)
     ok_finite = all(
         np.isfinite(history[k]).all()
         for k in ("disc_loss", "gen_loss", "mel_l1")
@@ -200,6 +252,10 @@ def main(steps=600, gta=False):
         "ok_losses_finite": bool(ok_finite),
         "ok_mcd_decreased": ok_mcd,
         "gta_finetune_mode": bool(gta),
+        "resumed_from_step": start_step if resume else 0,
+        "corpus_clips": len(list(corpus.glob("*.wav"))),
+        "lr_decay_steps": cfg.hifigan.lr_decay_steps,
+        "heldout_probe": "seed-12345 clip, never in the training corpus",
         "history": history,
         "mcd_history": mcd_history,
     }
@@ -258,8 +314,14 @@ def main(steps=600, gta=False):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--gta"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    corpus_n = 48
+    for a in sys.argv[1:]:
+        if a.startswith("--corpus="):
+            corpus_n = int(a.split("=", 1)[1])
     main(
         int(argv[0]) if argv else 600,
         gta="--gta" in sys.argv[1:],
+        resume="--resume" in sys.argv[1:],
+        corpus_n=corpus_n,
     )

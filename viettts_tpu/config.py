@@ -143,6 +143,14 @@ class HifiGanConfig:
     adam_b1: float = 0.8
     adam_b2: float = 0.99
     lr_decay: float = 0.999
+    # Steps per LR-decay interval.  0 = one dataset epoch (upstream
+    # hifi-gan semantics: scheduler.step() per epoch).  Upstream
+    # calibrates the 0.999/epoch decay to LJSpeech-scale epochs
+    # (13100 clips / batch 16 ~ 800 steps); on a small corpus the
+    # per-epoch default collapses the LR within a few thousand steps
+    # (48 clips / batch 16 = 3-step epochs -> lr*0.036 by step 10k),
+    # so small-corpus runs should set this explicitly.
+    lr_decay_steps: int = 0
 
     # discriminators (defaults = upstream hifi-gan sizes)
     mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)

@@ -430,7 +430,11 @@ def train(
 
     # Upstream hifi-gan decays the LR by ``lr_decay`` once per EPOCH
     # (train.py scheduler.step()); one epoch = one pass over the dataset.
-    steps_per_epoch = max(1, len(ds) // cfg.train.batch_size)
+    # ``hcfg.lr_decay_steps`` overrides the interval for small corpora
+    # where per-epoch decay would collapse the LR (see HifiGanConfig).
+    steps_per_epoch = hcfg.lr_decay_steps or max(
+        1, len(ds) // cfg.train.batch_size
+    )
     lr = optax.exponential_decay(
         hcfg.learning_rate, steps_per_epoch, hcfg.lr_decay, staircase=True
     )
