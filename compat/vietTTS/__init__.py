@@ -15,4 +15,22 @@ never shadows a real reference checkout (the parity tests import the
 genuine package from its own tree); it becomes importable when
 viettts_tpu is installed with pip, via the package-dir mapping in
 pyproject.toml.
+
+Every shim entry point serves through ``PARITY_CFG`` — the default
+config with ``hifigan.inference_dtype=float32``.  The drop-in surface
+promises reference parity (``<=1e-3`` waveform agreement, BASELINE.json),
+which even the bf16 serving default (0.57% rel-RMS on trained weights,
+benchmarks/int8_quality.json) would silently break for a reference user
+who never opted in.  bf16 remains the default for the viettts_tpu-native
+CLI/API, where it is an advertised serving choice with a measured
+quality bound.
 """
+
+from viettts_tpu.config import DEFAULT_CONFIG, apply_overrides
+
+#: Reference-parity serving config: float32 vocoder route.
+PARITY_CFG = apply_overrides(
+    DEFAULT_CONFIG, ["hifigan.inference_dtype=float32"]
+)
+
+__all__ = ["PARITY_CFG"]

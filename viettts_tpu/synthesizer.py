@@ -13,7 +13,10 @@ from argparse import ArgumentParser
 from pathlib import Path
 
 
-def main(argv=None):
+def main(argv=None, default_overrides=()):
+    """``default_overrides``: config overrides applied before ``--set`` /
+    ``--quality`` (so explicit flags win) — used by the ``vietTTS`` compat
+    shim to default its parity surface to the float32 vocoder route."""
     parser = ArgumentParser(description="TPU-native Vietnamese TTS")
     parser.add_argument("--text", type=str, help="text to synthesize")
     parser.add_argument(
@@ -60,7 +63,7 @@ def main(argv=None):
     from viettts_tpu.infer.pipeline import Synthesizer
     from viettts_tpu.text import normalize_text
 
-    cfg = apply_overrides(Config(), args.set)
+    cfg = apply_overrides(Config(), list(default_overrides) + args.set)
     if args.quality:
         cfg = apply_overrides(cfg, ["hifigan.inference_dtype=float32"])
     if args.ckpt_dir is not None:
