@@ -771,3 +771,71 @@ def test_calibrate_int8_surface(tiny_cfg, ckpt_dir):
     rms = float(np.sqrt((ref ** 2).mean()))
     err = float(np.sqrt(((got - ref) ** 2).mean()))
     assert err / max(rms, 1e-6) < 0.05, (err, rms)
+
+
+def test_calibrate_int8_decode_path_on_cpu(tiny_cfg, ckpt_dir, monkeypatch):
+    """The default text->durations->decode calibration path runs under a
+    faked non-CPU backend gate (advisor r4: it was unreachable in CI, so
+    a bucketing/signature regression would only surface at TPU serving
+    init).  Also asserts multi-utterance tree-max + the 1.25x margin."""
+    from viettts_tpu.config import apply_overrides
+    from viettts_tpu.infer import pipeline as pl
+    from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+    cfg = apply_overrides(
+        tiny_cfg.replace(ckpt_dir=ckpt_dir),
+        # scan decode: the fused AR kernel reads the faked backend too and
+        # would dispatch a real (non-interpret) pallas_call on CPU
+        ["hifigan.inference_dtype=int8", "acoustic.fused_decode=false"],
+    )
+    s = pl.Synthesizer(cfg, token_buckets=(32, 64))
+    # fake the backend gate only (decode/calibration math still runs on
+    # CPU); _build_vocode's interpret flag also reads it, but the rebound
+    # vocoder is never dispatched here
+    monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+    texts = ("xin chào", "hôm nay trời nắng đẹp quá")
+    assert s.calibrate_int8(texts=texts) is True
+    assert s._act_scales is not None
+
+    # the installed scales are the per-text tree-max, widened by 1.25x
+    mels = [s._calibration_mel(t) for t in texts]
+    per_text = [
+        generator_calibrate_int8(cfg.hifigan, s._hifigan_vars["params"], m)
+        for m in mels
+    ]
+    expect = jax.tree.map(jnp.maximum, *per_text)
+    for k, v in s._act_scales.items():
+        np.testing.assert_allclose(
+            np.asarray(v), 1.25 * np.asarray(expect[k]), rtol=1e-6
+        )
+
+
+def test_int8_clip_stats(tiny_cfg, ckpt_dir):
+    """Clip-rate probe: ~zero on the calibration input (margin headroom),
+    large on a 10x out-of-range input; surfaced via last_clip_stats."""
+    from viettts_tpu.config import apply_overrides
+    from viettts_tpu.infer.pipeline import Synthesizer
+    from viettts_tpu.models.hifigan import generator_calibrate_int8
+
+    cfg = apply_overrides(
+        tiny_cfg.replace(ckpt_dir=ckpt_dir), ["hifigan.inference_dtype=int8"]
+    )
+    s = Synthesizer(cfg)
+    mel = jnp.asarray(
+        np.random.RandomState(7).randn(1, 16, 80).astype(np.float32)
+    )
+    with pytest.raises(RuntimeError):
+        s.int8_clip_stats(mel=mel)  # not calibrated yet
+
+    params = s._hifigan_vars["params"]
+    s._act_scales = jax.tree.map(
+        lambda x: x * 1.25,
+        generator_calibrate_int8(cfg.hifigan, params, mel),
+    )
+    in_range = s.int8_clip_stats(mel=mel)
+    assert in_range["max_clip_fraction"] == 0.0
+    out_range = s.int8_clip_stats(mel=10.0 * mel)
+    assert out_range["max_clip_fraction"] > 0.01
+    assert s.last_clip_stats is out_range
+    # 2-D mels are accepted (the serve-side probe passes result.mel)
+    assert s.int8_clip_stats(mel=np.asarray(mel[0]))["max_clip_fraction"] == 0.0

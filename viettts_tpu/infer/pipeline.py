@@ -283,19 +283,43 @@ class Synthesizer:
         else:
             self._vocode = jax.jit(self._generator.apply)
 
-    def calibrate_int8(self, mel=None, text: Optional[str] = None) -> bool:
+    # Default calibration set: deliberately diverse pacing/energy — a
+    # plain greeting, a long multi-clause sentence, a short exclamation,
+    # and digit-heavy text — so the per-conv amaxes see short/long/loud
+    # activation regimes rather than one sentence's (advisor r4: a single
+    # 9-word calibration range risks silent clipping on expressive input).
+    CALIBRATION_TEXTS: Tuple[str, ...] = (
+        "xin chào các bạn tôi nói tiếng Việt rất vui",
+        "hôm nay trời nắng đẹp, chúng ta cùng nhau đi dạo quanh bờ hồ, "
+        "ngắm hàng cây xanh và nghe tiếng chim hót líu lo trên cao",
+        "tuyệt vời quá!",
+        "số điện thoại là không chín tám bảy sáu năm bốn ba hai một",
+    )
+
+    def calibrate_int8(
+        self,
+        mel=None,
+        text: Optional[str] = None,
+        texts: Optional[Sequence[str]] = None,
+        margin: float = 1.25,
+    ) -> bool:
         """Calibrate static activation scales for the int8 vocoder route
         (``generator_calibrate_int8``) and rebind the vocoder programs —
         the per-conv dynamic amax reduces disappear from the serving
         kernels, out-of-range activations clip at the calibrated amax.
 
-        Calibrates on ``mel`` [B, T, mel_dim] if given, else on the mel
-        decoded from ``text`` (default: a built-in phonetically busy
-        sentence).  Call BEFORE ``warmup()``: already-compiled vocoder /
-        sharded / lead programs are dropped and recompile on next use.
-        Returns True if calibration was applied (False when the route is
-        not int8-fused).  No-op on the CPU backend, where the interpret
-        Pallas calibration run would dominate startup.
+        Calibrates on ``mel`` [B, T, mel_dim] if given, else on the mels
+        decoded from ``texts`` (default: ``CALIBRATION_TEXTS``, a diverse
+        built-in set; ``text`` narrows it to one utterance).  Per-conv
+        amaxes are tree-maxed across utterances and widened by ``margin``
+        (default 1.25x — ~0.2 bit of int8 resolution as insurance against
+        serving inputs outside the calibrated range; residual clipping is
+        observable via ``int8_clip_stats``).  Call BEFORE ``warmup()``:
+        already-compiled vocoder / sharded / lead programs are dropped and
+        recompile on next use.  Returns True if calibration was applied
+        (False when the route is not int8-fused).  No-op on the CPU
+        backend, where the interpret Pallas calibration run would dominate
+        startup.
         """
         if not (
             self._vocoder_quant
@@ -305,33 +329,85 @@ class Synthesizer:
             return False
         from viettts_tpu.models.hifigan import generator_calibrate_int8
 
-        if mel is None:
-            ids = self.text_to_token_ids(
-                text
-                if text is not None
-                else "xin chào các bạn tôi nói tiếng Việt rất vui"
-            )
-            toks, lengths, dur_s = self._durations_for([ids], -1.0)
-            fps = self.cfg.dsp.sample_rate / self.cfg.dsp.hop_length
-            dur_frames = dur_s * fps
-            n_frames = _bucket_frames(int(dur_frames.sum(axis=1).max()) + 1)
-            mel = self._decode_mel(
-                self._acoustic_vars,
-                jnp.asarray(toks),
-                jnp.asarray(dur_frames),
-                int(n_frames),
-                jnp.asarray(lengths),
-                rngs={"prenet": self._prenet_key},
-            )
+        if mel is not None:
+            mels = [jnp.asarray(mel)]
+        else:
+            if texts is None:
+                texts = (text,) if text is not None else self.CALIBRATION_TEXTS
+            mels = [self._calibration_mel(t) for t in texts]
         cfg_h = self.cfg.hifigan
         hifi_params = self._hifigan_vars["params"]
-        self._act_scales = jax.jit(
+        calib = jax.jit(
             lambda m: generator_calibrate_int8(cfg_h, hifi_params, m)
-        )(jnp.asarray(mel))
+        )
+        scales = calib(mels[0])
+        for m in mels[1:]:
+            scales = jax.tree.map(jnp.maximum, scales, calib(m))
+        self._act_scales = jax.tree.map(lambda s: s * margin, scales)
         self._build_vocode()
         self._sharded_fns.clear()
         self._lead_fns.clear()
         return True
+
+    def _calibration_mel(self, text: str):
+        """Decode ``text`` to a mel through the production decode path
+        (token ids -> durations -> bucketed AR decode)."""
+        ids = self.text_to_token_ids(text)
+        toks, lengths, dur_s = self._durations_for([ids], -1.0)
+        fps = self.cfg.dsp.sample_rate / self.cfg.dsp.hop_length
+        dur_frames = dur_s * fps
+        n_frames = _bucket_frames(int(dur_frames.sum(axis=1).max()) + 1)
+        return self._decode_mel(
+            self._acoustic_vars,
+            jnp.asarray(toks),
+            jnp.asarray(dur_frames),
+            int(n_frames),
+            jnp.asarray(lengths),
+            rngs={"prenet": self._prenet_key},
+        )
+
+    def int8_clip_stats(self, mel=None, text: Optional[str] = None) -> dict:
+        """Sampled out-of-range probe for the static int8 route: fraction
+        of each MRF conv input that exceeds its calibrated amax (and would
+        be hard-clipped by the kernel) on ``mel`` / the mel decoded from
+        ``text``.  Returns ``{"max_clip_fraction": float, "per_stage":
+        {stage: [fractions]}}``; also kept on the instance as
+        ``last_clip_stats`` for observability surfaces (serve.py /stats).
+        Costs one f32 vocoder forward — intended for periodic sampling,
+        not per-request.  Raises if the route is not calibrated."""
+        if self._act_scales is None:
+            raise RuntimeError(
+                "int8_clip_stats requires static-int8 calibration "
+                "(calibrate_int8/warmup on the int8 route)"
+            )
+        from viettts_tpu.models.hifigan import generator_int8_clip_stats
+
+        if mel is None:
+            mel = self._calibration_mel(
+                text if text is not None else self.CALIBRATION_TEXTS[0]
+            )
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        cfg_h = self.cfg.hifigan
+        hifi_params = self._hifigan_vars["params"]
+        act_scales = self._act_scales
+        fracs = jax.jit(
+            lambda m: generator_int8_clip_stats(
+                cfg_h, hifi_params, m, act_scales
+            )
+        )(mel)
+        per_stage = {
+            int(k): np.asarray(v).tolist() for k, v in fracs.items()
+        }
+        stats = {
+            "max_clip_fraction": max(
+                (max(v) for v in per_stage.values()), default=0.0
+            ),
+            "per_stage": per_stage,
+        }
+        self.last_clip_stats = stats
+        return stats
 
     def _decode_mel(self, variables, toks, frames, n_frames, lengths, rngs):
         """Dispatch-level decode routing (two separately-jitted programs,

@@ -582,9 +582,11 @@ def generator_apply_fused(
     inter-stage activations (matmul operands are rounded to bf16 by the
     MXU at jax's DEFAULT precision either way; accumulation and the final
     tanh/waveform stay f32).  ``fused_max_batch`` caps the batch routed
-    to the Pallas MRF at the C=128 stage (None = no cap; the bf16 kernel
+    to the Pallas MRF at the C>=128 stages (None = no cap; the bf16 kernel
     keeps its packed weights VMEM-resident, so the cap defaults off for
-    bf16).
+    bf16 — and for int8, where the quantized kernel wins at every measured
+    batch).  Passing an explicit int gates the wide stages on EVERY route,
+    int8 included (per-shape regression escape hatch).
 
     ``quantize_int8=True`` runs the MRF convs of every fused stage as
     int8 x int8 -> int32 MXU passes (2x the bf16 matmul rate on v5e) with
@@ -718,7 +720,16 @@ def _generator_apply_fused_one(
                 or fused_max_batch is None
                 or batch < fused_max_batch
             )
-        ) or (quantize_int8 and ch % 128 == 0)
+        ) or (
+            # int8: the quantized kernel halves the MXU passes XLA's bf16
+            # convs cannot, so every 128-divisible stage routes to it by
+            # default ("auto" resolves fused_max_batch to None).  An
+            # EXPLICIT fused_max_batch still gates these stages — the
+            # per-shape escape hatch if a large-batch shape regresses.
+            quantize_int8
+            and ch % 128 == 0
+            and (fused_max_batch is None or batch < fused_max_batch)
+        )
         if use_fused:
             weights = mrf_weights_from_params(params, i, num_kernels)
             # On the last stage also fuse the generator tail
@@ -812,19 +823,12 @@ def _generator_apply_fused_one(
     return jnp.tanh(x.astype(jnp.float32))
 
 
-def generator_calibrate_int8(cfg: HifiGanConfig, params, mel: jax.Array):
-    """Per-conv activation amaxes for static int8 MRF quantization.
-
-    Runs the plain-XLA f32 generator on ``mel`` and records, for every MRF
-    conv of every stage, ``max|leaky_relu(conv input)|`` — in exactly the
+def _mrf_activation_walk(cfg: HifiGanConfig, params, mel: jax.Array, metric):
+    """Run the plain-XLA f32 generator on ``mel`` and reduce every MRF conv
+    input with ``metric(stage, conv_index, activation)`` — in exactly the
     flat conv order ``fused_mrf`` quantizes in (resblocks x dilation units
-    x convs per unit).  Returns ``{stage_index: [n_convs] f32}``; pass it
-    to ``generator_apply_fused(act_scales=...)``.  Calibrate on a
-    representative mel (e.g. a warmup synthesis at serving init); inputs
-    beyond a calibrated range are clipped by the kernel, so a single
-    representative batch suffices in practice (measured quality bound:
-    scripts/bench_batch.py ``vocoder_quality``).  Jit-compatible.
-    """
+    x convs per unit).  Returns ``{stage_index: [n_convs] f32}``.
+    Jit-compatible.  Shared by int8 calibration and clip diagnostics."""
     num_kernels = len(cfg.resblock_kernel_sizes)
 
     def conv(name, x, k, dilation=1, sub=None):
@@ -842,7 +846,7 @@ def generator_calibrate_int8(cfg: HifiGanConfig, params, mel: jax.Array):
         return y + entry["bias"].astype(jnp.float32)
 
     x = conv("conv_pre", mel.astype(jnp.float32), 7)
-    scales: dict = {}
+    out: dict = {}
     for i, u in enumerate(cfg.upsample_rates):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = (
@@ -856,7 +860,7 @@ def generator_calibrate_int8(cfg: HifiGanConfig, params, mel: jax.Array):
             )
             + params[f"ups_{i}"]["bias"].astype(jnp.float32)
         )
-        amaxes = []
+        vals = []
         acc = None
         for j, (rk, rd) in enumerate(
             zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
@@ -865,19 +869,58 @@ def generator_calibrate_int8(cfg: HifiGanConfig, params, mel: jax.Array):
             r = x
             for di, d in enumerate(rd):
                 y = jax.nn.leaky_relu(r, LRELU_SLOPE)
-                amaxes.append(jnp.max(jnp.abs(y)))
+                vals.append(metric(i, len(vals), y))
                 if cfg.resblock == "1":
                     y = conv(block, y, rk, dilation=d, sub=f"convs1_{di}")
                     y = jax.nn.leaky_relu(y, LRELU_SLOPE)
-                    amaxes.append(jnp.max(jnp.abs(y)))
+                    vals.append(metric(i, len(vals), y))
                     y = conv(block, y, rk, dilation=1, sub=f"convs2_{di}")
                 else:
                     y = conv(block, y, rk, dilation=d, sub=f"convs_{di}")
                 r = y + r
             acc = r if acc is None else acc + r
         x = acc / num_kernels
-        scales[i] = jnp.stack(amaxes)
-    return scales
+        out[i] = jnp.stack(vals)
+    return out
+
+
+def generator_calibrate_int8(
+    cfg: HifiGanConfig, params, mel: jax.Array, margin: float = 1.0
+):
+    """Per-conv activation amaxes for static int8 MRF quantization.
+
+    Records ``max|leaky_relu(conv input)| * margin`` for every MRF conv of
+    every stage.  Returns ``{stage_index: [n_convs] f32}``; pass it to
+    ``generator_apply_fused(act_scales=...)``.  Inputs beyond a calibrated
+    range are hard-clipped by the kernel, so calibrate on several diverse
+    utterances (Synthesizer.calibrate_int8 does, and tree-maxes the
+    results) and keep a safety ``margin`` > 1 — the int8 resolution cost
+    of a 1.25x margin is ~0.2 bit, far cheaper than silent clipping.
+    Out-of-range serving inputs are detectable via
+    ``generator_int8_clip_stats``.  Jit-compatible.
+    """
+    return _mrf_activation_walk(
+        cfg, params, mel,
+        lambda i, j, y: jnp.max(jnp.abs(y)) * margin,
+    )
+
+
+def generator_int8_clip_stats(
+    cfg: HifiGanConfig, params, mel: jax.Array, act_scales: dict
+):
+    """Clip-rate diagnostic for the static-scale int8 route: the fraction
+    of each conv input's elements whose magnitude exceeds the calibrated
+    amax (i.e. would be hard-clipped by the kernel).  Returns
+    ``{stage_index: [n_convs] f32 fractions}``.  Costs one f32 XLA
+    forward — intended as a sampled serving probe
+    (``Synthesizer.int8_clip_stats``), not per-request.  Jit-compatible.
+    """
+    return _mrf_activation_walk(
+        cfg, params, mel,
+        lambda i, j, y: jnp.mean(
+            (jnp.abs(y) > act_scales[i][j]).astype(jnp.float32)
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

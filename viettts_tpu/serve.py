@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import threading
 import time
 import wave
@@ -98,10 +99,16 @@ class DynamicBatcher:
         max_batch: int = 16,
         batch_window_ms: float = 20.0,
         max_pending: int = 128,
+        clip_probe_every: int = 200,
     ):
         self._synth = synthesizer
         self.max_batch = int(max_batch)
         self.batch_window_ms = float(batch_window_ms)
+        # int8 out-of-range observability: every N batches, one served mel
+        # is re-run through the f32 clip-stat probe (costs ~one vocoder
+        # forward) so silent hard-clipping on the static-int8 route shows
+        # up in /stats instead of only in the audio.  0 disables.
+        self.clip_probe_every = int(clip_probe_every)
         # admission control: beyond this many queued-but-unstarted requests
         # submit() refuses with QueueFullError instead of growing the queue
         # without bound under overload (each pending request pins its text
@@ -220,6 +227,7 @@ class DynamicBatcher:
                         results = self._synth.synthesize_batch(
                             [r.text for r in reqs], silence_duration=sd
                         )
+                        self._maybe_clip_probe(results)
                     for r, res in zip(reqs, results):
                         r.wave = np.asarray(res.wave)
                 except Exception as e:  # pragma: no cover - defensive
@@ -232,6 +240,21 @@ class DynamicBatcher:
                     self.n_requests += len(reqs)
                     self.n_batches += 1
                     self.batch_sizes.append(len(reqs))
+
+    def _maybe_clip_probe(self, results) -> None:
+        """Sampled int8 clip-rate probe on a just-served mel (see
+        ``clip_probe_every``).  Called under ``synth_lock``; never lets a
+        diagnostic failure fail the batch."""
+        if not self.clip_probe_every or not results:
+            return
+        with self._stats_lock:
+            due = self.n_batches % self.clip_probe_every == 0
+        if not due or getattr(self._synth, "_act_scales", None) is None:
+            return
+        try:
+            self._synth.int8_clip_stats(mel=results[0].mel)
+        except Exception:  # pragma: no cover - diagnostic only
+            logging.getLogger(__name__).exception("int8 clip probe failed")
 
     # -- stats -------------------------------------------------------------
 
@@ -250,6 +273,9 @@ class DynamicBatcher:
             if lats:
                 d["latency_ms_p50"] = lats[len(lats) // 2]
                 d["latency_ms_p95"] = lats[int(len(lats) * 0.95)]
+        clip = getattr(self._synth, "last_clip_stats", None)
+        if clip is not None:
+            d["int8_max_clip_fraction"] = clip["max_clip_fraction"]
         return d
 
 
@@ -264,6 +290,7 @@ class TTSServer:
         max_batch: int = 16,
         batch_window_ms: float = 20.0,
         max_pending: int = 128,
+        clip_probe_every: int = 200,
     ):
         self.sample_rate = synthesizer.cfg.dsp.sample_rate
         self._synth = synthesizer
@@ -272,6 +299,7 @@ class TTSServer:
             max_batch=max_batch,
             batch_window_ms=batch_window_ms,
             max_pending=max_pending,
+            clip_probe_every=clip_probe_every,
         )
         outer = self
 
@@ -416,6 +444,10 @@ def main(argv: Optional[Sequence[str]] = None):
                         "(shard_map data-parallel serving)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile common bucket shapes before listening")
+    p.add_argument("--int8-probe-every", type=int, default=200,
+                   help="every N batches, probe one served mel for "
+                        "int8 clip-rate (0 disables); see /stats "
+                        "int8_max_clip_fraction")
     p.add_argument("--set", action="append", default=[], metavar="K=V")
     args = p.parse_args(argv)
 
@@ -437,6 +469,7 @@ def main(argv: Optional[Sequence[str]] = None):
         max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms,
         max_pending=args.max_pending,
+        clip_probe_every=args.int8_probe_every,
     )
     print(f"serving on {args.host}:{server.port}")
     try:
