@@ -164,17 +164,29 @@ class HifiGanConfig:
     # serving route ("float32" | "bfloat16" | "int8").  bf16 selects bf16
     # *storage* for activations and packed weights (halving HBM traffic —
     # matmul operands are already rounded to bf16 by the MXU at jax's
-    # DEFAULT precision either way); waveform error ~0.7% rms (-43 dB).
-    # int8 additionally runs the MRF convs as int8 x int8 -> int32 MXU
-    # passes (2x the bf16 rate) on top of bf16 storage, with static
-    # activation scales calibrated at warmup (Synthesizer.calibrate_int8);
-    # waveform error 0.78% rms measured on a held-out mel.  int8 is the
-    # measured-fastest route at EVERY batch size (v5e,
-    # scripts/bench_b1_vocoder.py B=1 T=1024: 7.96 ms int8-static vs
-    # 9.67 bf16 vs 9.66 f32; scripts/bench_batch.py B=64: 3,668 vs 2,728
-    # s-audio/s) and is the default; the synthesizer CLI --quality flag
-    # forces float32.
-    inference_dtype: str = "int8"
+    # DEFAULT precision either way).  int8 additionally runs the MRF convs
+    # as int8 x int8 -> int32 MXU passes (2x the bf16 rate) on top of bf16
+    # storage, with static activation scales calibrated at warmup
+    # (Synthesizer.calibrate_int8).
+    #
+    # Default = bfloat16, a QUALITY decision made on TRAINED weights
+    # (scripts/validate_int8.py -> benchmarks/int8_quality.json, trained
+    # GAN checkpoint on real mels): bf16 is 0.57% rel-RMS / 1.05 dB MCD
+    # off the f32 route, while int8 — despite being the measured-fastest
+    # route at every batch size (v5e, scripts/bench_b1_vocoder.py B=1
+    # T=1024: 7.96 ms int8-static vs 9.67 bf16; scripts/bench_batch.py
+    # B=64: 4,226 vs ~3,6xx s-audio/s) — degrades to 68% rel-RMS / 35 dB
+    # MCD on trained activation ranges (57%/27 dB even with dynamic
+    # per-tile scales; clip fraction ~0, so it is per-conv int8
+    # resolution loss across the 12-conv residual chain, not range).
+    # The round-4 0.78% int8 bound was measured on randomly-initialized
+    # weights and did not transfer.  int8 remains an opt-in serving
+    # route (--set hifigan.inference_dtype=int8) for non-quality-
+    # critical workloads.  The synthesizer CLI --quality flag forces
+    # float32, and the drop-in ``vietTTS`` compat shim always serves
+    # float32 (its surface promises <=1e-3 reference parity; see
+    # compat/vietTTS/__init__.py).
+    inference_dtype: str = "bfloat16"
 
     @property
     def total_upsample(self) -> int:
