@@ -194,11 +194,19 @@ def main():
         "n_frames": N_FRAMES,
         "backend": jax.default_backend(),
         "mfu": {
+            # pipeline keeps the bf16 denominator even on the int8 route
+            # (only the vocoder MXU passes are int8 — conservative)
             "pipeline": mfu_report(
                 pipeline_flops(cfg, N_TOKENS, N_FRAMES, BATCH), elapsed
             ),
             "vocoder": mfu_report(
-                generator_flops(cfg, N_FRAMES, BATCH), t_voc
+                generator_flops(cfg, N_FRAMES, BATCH), t_voc,
+                compute_dtype=(
+                    "int8"
+                    if cfg.hifigan.inference_dtype == "int8"
+                    and jax.default_backend() != "cpu"
+                    else "bf16"
+                ),
             ),
             "acoustic": mfu_report(
                 acoustic_decode_flops(cfg, N_TOKENS, N_FRAMES, BATCH), t_ac

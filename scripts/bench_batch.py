@@ -216,19 +216,29 @@ def main():
             if voc_quant
             else None
         ),
+        # route sanity check on the bench's random-init weights ONLY; the
+        # authoritative serving-quality artifact is measured on TRAINED
+        # weights by scripts/validate_int8.py
         "vocoder_quality": quality,
+        "vocoder_quality_trained_weights": "benchmarks/int8_quality.json",
         "mfu": {
+            # vocoder MXU passes are int8 on the quantized route; the
+            # acoustic/duration stages stay bf16 so the pipeline figure
+            # keeps the bf16 denominator (conservative: int8 stages make
+            # it an under-, never over-statement of utilization)
             "pipeline": mfu_report(
                 pipeline_flops(cfg, N_TOKENS, N_FRAMES, BATCH), t_full
             ),
             "vocoder": mfu_report(
-                generator_flops(cfg, N_FRAMES, BATCH), t_voc
+                generator_flops(cfg, N_FRAMES, BATCH), t_voc,
+                compute_dtype="int8" if voc_quant else "bf16",
             ),
             # against the MACs the fused path actually issues (incl. the
             # space-to-depth packing overhead of the narrow stages) —
             # distance from the kernel's structural MXU roofline
             "vocoder_actual_issued": mfu_report(
-                generator_actual_flops(cfg, N_FRAMES, BATCH), t_voc
+                generator_actual_flops(cfg, N_FRAMES, BATCH), t_voc,
+                compute_dtype="int8" if voc_quant else "bf16",
             ),
         },
         "decode_sub_batch": decode_mb,
