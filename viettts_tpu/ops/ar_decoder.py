@@ -7,6 +7,10 @@ dispatches ~8 small matmuls with scheduling gaps between them
 
 * all decoder weights (prenet, both LSTMs' recurrent+prenet projections,
   mel projection) stay resident in VMEM for the entire sequence;
+* each LSTM layer's gate contributions run as ONE merged MXU pass
+  (``[p, h] @ [Wp; Wh]``) instead of 2-3 separate matvecs — at B=1 the
+  sequential loop is per-op-latency bound, so fewer/wider dots beat the
+  same MACs split across more issues (5 dots/frame vs 8);
 * the precomputed conditioning gates (cond @ W, see
   AcousticModel.inference) and the prenet dropout keep-masks stream in
   chunk-by-chunk through the pipelined grid (Pallas double-buffers the
@@ -58,11 +62,8 @@ def _ar_kernel(
     keep2_ref,  # VMEM [CHUNK, B, P]
     k_fc1_ref,  # VMEM [D, P]
     k_fc2_ref,  # VMEM [P, P]
-    w1_p_ref,  # VMEM [P, 4H]
-    wh1_ref,  # VMEM [H, 4H]
-    w2_p_ref,  # VMEM [P, 4H]
-    w2_h1_ref,  # VMEM [H, 4H]
-    wh2_ref,  # VMEM [H, 4H]
+    w1m_ref,  # VMEM [P + H, 4H]   rows: [w1_p; wh1]
+    w2m_ref,  # VMEM [P + 2H, 4H]  rows: [w2_p; w2_h1; wh2]
     wp_ref,  # VMEM [2H, D] mel projection (both halves)
     pb_ref,  # VMEM [1, D] projection bias
     out_ref,  # VMEM [CHUNK, B, D]
@@ -108,13 +109,18 @@ def _ar_kernel(
             h_new = jax.nn.sigmoid(go) * jnp.tanh(c_new)
             return h_new, c_new
 
-        gates1 = g1c_ref[t] + dot(p, w1_p_ref[...]) + dot(h1, wh1_ref[...])
+        # One merged MXU pass per LSTM layer instead of 2 (layer 1) and 3
+        # (layer 2) separate matvecs: dot([p, h], [Wp; Wh]) issues the
+        # same bf16 products as the split dots (identical operand
+        # rounding; only the f32 accumulation grouping differs), so the
+        # merge is recurrence-safe while removing three per-frame MXU
+        # issues from the sequential critical path.
+        gates1 = g1c_ref[t] + dot(
+            jnp.concatenate([p, h1], axis=1), w1m_ref[...]
+        )
         h1n, c1n = lstm(gates1, h1, c1)
-        gates2 = (
-            g2c_ref[t]
-            + dot(p, w2_p_ref[...])
-            + dot(h1n, w2_h1_ref[...])
-            + dot(h2, wh2_ref[...])
+        gates2 = g2c_ref[t] + dot(
+            jnp.concatenate([p, h1n, h2], axis=1), w2m_ref[...]
         )
         h2n, c2n = lstm(gates2, h2, c2)
 
@@ -168,6 +174,10 @@ def ar_decode(
     g2c_t = jnp.swapaxes(g2c, 0, 1)
     keep1 = keep1.astype(jnp.float32)
     keep2 = keep2.astype(jnp.float32)
+    # merged per-layer gate weights (see _ar_kernel): free at trace time,
+    # XLA materializes them once
+    w1m = jnp.concatenate([w1_p, wh1], axis=0)  # [P+H, 4H]
+    w2m = jnp.concatenate([w2_p, w2_h1, wh2], axis=0)  # [P+2H, 4H]
 
     kernel = partial(_ar_kernel, H=H, scale=float(dropout_scale))
 
@@ -186,8 +196,7 @@ def ar_decode(
             chunk_spec(4 * H),
             chunk_spec(P),
             chunk_spec(P),
-            full(), full(), full(), full(), full(), full(), full(), full(),
-            full(),
+            full(), full(), full(), full(), full(), full(),
         ],
         out_specs=pl.BlockSpec(
             (chunk, B, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -200,7 +209,7 @@ def ar_decode(
         interpret=interpret,
     )(
         g1c_t, g2c_t, keep1, keep2,
-        k_fc1, k_fc2, w1_p, wh1, w2_p, w2_h1, wh2,
+        k_fc1, k_fc2, w1m, w2m,
         proj_kernel, proj_bias.reshape(1, D),
     )
     return jnp.swapaxes(out, 0, 1)  # [B, L, D]
