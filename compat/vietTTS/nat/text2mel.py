@@ -8,7 +8,7 @@ checkpoints or re-jit.
 The shim serves through the ``float32`` vocoder route: the drop-in
 ``vietTTS`` surface promises reference parity (BASELINE ``<=1e-3``), so
 it must not inherit viettts_tpu's quantized serving default.  Use the
-viettts_tpu API directly for the int8 fast path.
+viettts_tpu API directly for the bf16/int8 fast paths.
 """
 
 import numpy as np

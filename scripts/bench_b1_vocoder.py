@@ -1,6 +1,10 @@
 """Single-utterance (B=1) vocoder route comparison: bf16 vs int8-dynamic
 vs int8-static, full fused generator at the one-shot serving shape.
-Decides the hifigan.inference_dtype default for latency-bound serving.
+
+Measures SPEED only.  The inference_dtype default is a quality call made
+on trained weights (scripts/validate_int8.py, benchmarks/int8_quality.json):
+int8 is the fastest route at every batch size but degrades badly on
+trained activation ranges, so the default is bfloat16.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_b1_vocoder.py [T]
 """
