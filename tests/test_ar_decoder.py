@@ -11,8 +11,10 @@ from viettts_tpu.models import AcousticModel
 from viettts_tpu.types import AcousticBatch
 
 
-@pytest.mark.parametrize("dropout_on", [True, False])
-def test_ar_decode_matches_scan(dropout_on):
+@pytest.mark.parametrize("dropout_on,B", [(True, 2), (False, 2), (False, 1)])
+def test_ar_decode_matches_scan(dropout_on, B):
+    """B=1 is the latency-serving shape the merged-gate kernel optimizes;
+    B=2 exercises batch broadcasting of the merged dots."""
     cfg = AcousticModelConfig(
         encoder_dim=16,
         decoder_dim=32,
@@ -21,10 +23,10 @@ def test_ar_decode_matches_scan(dropout_on):
         prenet_dropout_at_inference=dropout_on,
     )
     model = AcousticModel(cfg)
-    B, T, NF = 2, 12, 64  # NF must be a CHUNK multiple
+    T, NF = 12, 64  # NF must be a CHUNK multiple
     rng = np.random.RandomState(0)
     toks = jnp.asarray(rng.randint(0, 93, (B, T)), jnp.int32)
-    lengths = jnp.asarray([T, T - 3], jnp.int32)
+    lengths = jnp.asarray([T, T - 3][:B], jnp.int32)
     durs = jnp.full((B, T), NF / T, jnp.float32)
     batch = AcousticBatch(
         toks, lengths, durs, None, None, jnp.zeros((B, NF, 80))
